@@ -1,0 +1,407 @@
+"""Batched-RANSAC registration drivers (4PCS and Super4PCS modes).
+
+Re-architecture of ``Match4PCSBase::ComputeTransformation``
+(ref:src/super4pcs/algorithms/match4pcsBase.hpp:61-274) for TPU:
+
+- the reference runs one base per trial, walking branchy CPU structures
+  (kd-trees, rasterization grids) and racing threads on a shared
+  ``best_LCP_``; here each *device step* vmaps ``bases_per_step``
+  complete trials — base selection, pair extraction, congruent-set
+  join, rigid fit — then scores every surviving candidate transform
+  with one batched LCP kernel and takes an argmax. No shared mutable
+  state, no critical sections;
+- the anytime contract (ref:hpp:236-255) survives as a host-side loop
+  around the jitted step: between steps we check wall-clock budget,
+  trial budget, and the terminate threshold, exactly as the reference's
+  per-trial checks do;
+- RANSAC state worth persisting is an explicit dict (trial counter,
+  best transform/LCP, base + congruent ids), so runs checkpoint/resume
+  trivially (the reference's ``current_trial_`` resume design,
+  ref:match4pcsBase.h:131-161).
+
+Mode differences mirror the reference subclass seam
+(ref:match4pcsBase.h:270-326): Super4PCS adds the pair-direction cone
+filter in the congruent join; 4PCS joins on invariant distance alone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cloud import PointCloud
+from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
+                      K_NUMBER_OF_DIAMETER_TRIALS)
+from .ops import congruent, geometry, lcp, sampling, select
+from .ops.masking import masked_indices
+from .ops.pairs import PairFilterConfig, extract_pairs
+from .utils import Logger, LogLevel
+from .visitor import DummyTransformVisitor, visitor_needs_global
+
+_K_SMALL_ERROR = 0.00001      # ref:match4pcsBase.hpp:101
+_K_MIN_TRIALS = 4             # ref:hpp:102
+_K_DIAMETER_FRACTION = 0.3    # ref:hpp:103
+
+
+@dataclasses.dataclass
+class RegistrationResult:
+    """Outcome of one registration run."""
+    score: float                     # best LCP in [0, 1]
+    transform: np.ndarray            # 4x4 mapping Q onto P, original coords
+    transformed_q: Optional[PointCloud]  # original Q moved by `transform`
+    n_trials: int
+    improved: bool
+    stats: dict
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Match4PCSBase:
+    """Shared driver. Subclasses fix the congruent-join mode."""
+
+    #: cosine cone tolerance; subclass sets (<0 disables = 4PCS mode)
+    _cone_mode = -1.0
+
+    def __init__(self, options: Options, logger: Optional[Logger] = None):
+        self.options = options
+        self.logger = logger or Logger(LogLevel.NoLog)
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    # public API (mirrors ComputeTransformation, ref:hpp:61-86)
+    # ------------------------------------------------------------------
+
+    def compute_transformation(
+        self, P: PointCloud, Q: PointCloud,
+        visitor=None,
+    ) -> RegistrationResult:
+        visitor = visitor or DummyTransformVisitor()
+        if len(P) == 0 or len(Q) == 0:
+            # degenerate inputs return kLargeNumber, not an exception
+            # (ref:hpp:69-70)
+            return RegistrationResult(
+                score=K_LARGE_NUMBER, transform=np.eye(4, dtype=np.float32),
+                transformed_q=None, n_trials=0, improved=False, stats={})
+
+        self._init(P, Q)
+        if self._best_lcp != 1.0:
+            self._perform_steps(visitor)
+
+        improved = self._best_lcp > self._initial_lcp
+        if improved:
+            global_mat = self._global_transform()
+            transformed_q = self._q_original.transformed(global_mat)
+            out_mat = global_mat
+        else:
+            transformed_q = self._q_original
+            out_mat = np.eye(4, dtype=np.float32)
+
+        return RegistrationResult(
+            score=float(self._best_lcp),
+            transform=np.asarray(out_mat, dtype=np.float32),
+            transformed_q=transformed_q,
+            n_trials=self._trial,
+            improved=improved,
+            stats=dict(self._stats),
+        )
+
+    # accessors mirroring getFirstSampled/getSecondSampled
+    # (ref:match4pcsBase.h:88-94) — in original (uncentered) coordinates.
+    def get_first_sampled(self) -> PointCloud:
+        return self._sampled_p_world
+
+    def get_second_sampled(self) -> PointCloud:
+        return self._sampled_q_world
+
+    # ------------------------------------------------------------------
+    # init (mirrors ref:hpp:90-203)
+    # ------------------------------------------------------------------
+
+    def _init(self, P: PointCloud, Q: PointCloud):
+        opts = self.options
+        rng = np.random.default_rng(opts.random_seed)
+        self._q_original = Q
+
+        if len(P) <= opts.sample_size:
+            self.logger.error(
+                "(P) More samples requested than available: use whole cloud")
+        sampled_p = sampling.sample_for_matching(
+            P, opts.delta, opts.sample_size, truncate=False, rng=rng)
+        if len(Q) <= opts.sample_size:
+            self.logger.error(
+                "(Q) More samples requested than available: use whole cloud")
+        sampled_q = sampling.sample_for_matching(
+            Q, opts.delta, opts.sample_size, truncate=True, rng=rng)
+        self._sampled_p_world = sampled_p
+        self._sampled_q_world = sampled_q
+
+        # center on centroids (ref:hpp:141-149)
+        self._centroid_p = sampled_p.pos.mean(axis=0)
+        self._centroid_q = sampled_q.pos.mean(axis=0)
+        p_pos = sampled_p.pos - self._centroid_p
+        q_pos = sampled_q.pos - self._centroid_q
+
+        # randomized diameter — the reference draws the probe pairs from
+        # the *Q* samples (ref:hpp:156-163), kept as-is for parity.
+        self._p_diameter = geometry.estimate_diameter(
+            q_pos, K_NUMBER_OF_DIAMETER_TRIALS, rng)
+        self._max_base_diameter = self._p_diameter  # ref:hpp:172
+
+        # trial-count estimate (ref:hpp:175-185)
+        overlap = opts.overlap_estimation
+        denom = math.log(max(1.0 - overlap ** _K_MIN_TRIALS, 1e-300))
+        first_estimation = (math.log(_K_SMALL_ERROR) / denom
+                            if denom != 0.0 else 0.0)
+        if self._max_base_diameter > 0:
+            n_trials = int(first_estimation
+                           * (self._p_diameter / _K_DIAMETER_FRACTION)
+                           / self._max_base_diameter)
+        else:
+            n_trials = 0
+        self.number_of_trials = max(n_trials, _K_MIN_TRIALS)
+
+        self.logger.verbose("norm_max_dist: ", opts.delta)
+
+        # device-resident arrays
+        f32 = jnp.float32
+        self._d_p_pos = jnp.asarray(p_pos, f32)
+        self._d_p_norm = jnp.asarray(sampled_p.normals_or_zero(), f32)
+        self._d_p_rgb = jnp.asarray(sampled_p.rgb_or_invalid(), f32)
+        self._d_q_pos = jnp.asarray(q_pos, f32)
+        self._d_q_norm = jnp.asarray(sampled_q.normals_or_zero(), f32)
+        self._d_q_rgb = jnp.asarray(sampled_q.rgb_or_invalid(), f32)
+
+        self._trial = 0
+        self._stats = {
+            "pairs_overflow": 0, "quads_overflow": 0,
+            "cands_overflow": 0, "n_congruent": 0,
+        }
+
+        # best-so-far state (ref:match4pcsBase.h:131-161)
+        self._transform = np.eye(4, dtype=np.float32)
+        self._qcentroid1 = np.zeros(3, dtype=np.float32)
+        self._qcentroid2 = np.zeros(3, dtype=np.float32)
+        self._base_ids = np.zeros(4, dtype=np.int32)
+        self._congruent_ids = np.zeros(4, dtype=np.int32)
+
+        self._build_step()
+
+        # initial verification of the identity transform (ref:hpp:201)
+        self._best_lcp = float(lcp.lcp_score_single(
+            jnp.eye(4, dtype=f32), self._d_q_pos, self._d_p_pos, opts.delta))
+        self._initial_lcp = self._best_lcp
+        self.logger.verbose("Initial LCP: ", self._best_lcp)
+
+        self._key = jax.random.key(opts.random_seed)
+
+    # ------------------------------------------------------------------
+    # jitted device step: B complete RANSAC trials + batched verify
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        opts = self.options
+        nq = int(self._d_q_pos.shape[0])
+        k_pairs = opts.max_pairs or _round_up(max(4 * nq, 256), 128)
+        k_quads = _round_up(opts.max_quads, 128)
+        n_cands = min(_round_up(opts.bases_per_step * 128, 128),
+                      opts.bases_per_step * k_quads)
+
+        cfg = PairFilterConfig(
+            max_normal_difference=opts.max_normal_difference,
+            max_color_distance=opts.max_color_distance,
+            max_translation_distance=opts.max_translation_distance,
+            max_angle=opts.max_angle,
+        )
+        eps_pairs = DISTANCE_FACTOR * opts.delta       # ref:hpp:328-331
+        dist_thr2 = DISTANCE_FACTOR * opts.delta       # ref:hpp:340-347
+        cone_tol = self._cone_mode
+        max_angle_rad = (opts.max_angle * math.pi / 180.0
+                         if opts.max_angle >= 0 else -1.0)
+        rms_gate = DISTANCE_FACTOR * opts.delta        # ref:hpp:439
+        n_tri = opts.n_triangle_trials
+        b_per_step = opts.bases_per_step
+        delta = opts.delta
+        max_base_diameter = self._max_base_diameter
+
+        def try_base(key, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
+            ids, inv1, inv2, bvalid = select.select_base(
+                key, p_pos, max_base_diameter, n_tri)
+            base_pos = p_pos[ids]
+            base_norm = p_norm[ids]
+            base_rgb = p_rgb[ids]
+
+            pairs1, v1, c1 = extract_pairs(
+                q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
+                0, 1, eps_pairs, cfg, k_pairs)
+            pairs2, v2, c2 = extract_pairs(
+                q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
+                2, 3, eps_pairs, cfg, k_pairs)
+
+            # angle between the two base segments (ref:super4pcs.cc:109-111)
+            s1 = base_pos[1] - base_pos[0]
+            s2 = base_pos[3] - base_pos[2]
+            cos_alpha = jnp.dot(
+                s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
+                s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
+
+            quads, qvalid, qcount = congruent.find_congruent_quads(
+                q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
+                dist_thr2, cos_alpha, cone_tol, k_quads)
+            qvalid = qvalid & bvalid
+
+            cand = q_pos[quads]                         # (Kq, 4, 3)
+            centroid1 = base_pos[:3].mean(axis=0)       # ref:hpp:385
+            centroid2 = cand[:, :3].mean(axis=1)        # ref:hpp:415-417
+            transform, rms, tvalid = geometry.batched_rigid_fit(
+                base_pos, cand, centroid1, centroid2, max_angle_rad)
+            cvalid = qvalid & tvalid & (rms >= 0) & (rms < rms_gate)
+
+            return dict(transform=transform, cvalid=cvalid,
+                        centroid1=centroid1, centroid2=centroid2,
+                        ids=ids, quads=quads,
+                        counts=jnp.stack([c1, c2, qcount]))
+
+        def step(key, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
+            keys = jax.random.split(key, b_per_step)
+            tb = jax.vmap(lambda k: try_base(
+                k, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb))(keys)
+
+            flat_t = tb["transform"].reshape(-1, 4, 4)
+            flat_v = tb["cvalid"].reshape(-1)
+
+            # compact the valid candidates across the whole step before
+            # the (expensive) LCP scoring — replaces the reference's
+            # per-candidate early exits with one dense batch.
+            idx, live, n_valid = masked_indices(flat_v, n_cands)
+            cand_t = flat_t[idx]
+            scores = lcp.lcp_scores(cand_t, q_pos, p_pos, delta)
+            scores = jnp.where(live, scores, -1.0)
+
+            best = jnp.argmax(scores)
+            flat_i = idx[best]
+            b = flat_i // k_quads
+            qi = flat_i % k_quads
+            return dict(
+                lcp=scores[best],
+                transform=cand_t[best],
+                qcentroid1=tb["centroid1"][b],
+                qcentroid2=tb["centroid2"][b, qi],
+                base_ids=tb["ids"][b],
+                congruent_ids=tb["quads"][b, qi],
+                n_congruent=n_valid,
+                pair_counts=tb["counts"],
+            )
+
+        self._step_fn = jax.jit(step)
+        self._k_pairs = k_pairs
+        self._k_quads = k_quads
+        self._n_cands = n_cands
+
+    # ------------------------------------------------------------------
+    # host anytime loop (mirrors Perform_N_steps, ref:hpp:208-274)
+    # ------------------------------------------------------------------
+
+    def _perform_steps(self, visitor):
+        opts = self.options
+        needs_global = visitor_needs_global(visitor)
+        b = opts.bases_per_step
+
+        visitor(0.0, self._best_lcp,
+                self._visitor_transform(needs_global))
+
+        t0 = time.perf_counter()
+        step_idx = 0
+        while True:
+            key = jax.random.fold_in(self._key, step_idx)
+            out = self._step_fn(
+                key, self._d_p_pos, self._d_p_norm, self._d_p_rgb,
+                self._d_q_pos, self._d_q_norm, self._d_q_rgb)
+            step_lcp = float(out["lcp"])
+            self._trial += b
+            step_idx += 1
+
+            self._stats["n_congruent"] += int(out["n_congruent"])
+            counts = np.asarray(out["pair_counts"])
+            self._stats["pairs_overflow"] += int(
+                (counts[:, :2] > self._k_pairs).sum())
+            self._stats["quads_overflow"] += int(
+                (counts[:, 2] > self._k_quads).sum())
+            self._stats["cands_overflow"] += int(
+                int(out["n_congruent"]) > self._n_cands)
+
+            if step_lcp > self._best_lcp:
+                self._best_lcp = step_lcp
+                self._transform = np.asarray(out["transform"])
+                self._qcentroid1 = np.asarray(out["qcentroid1"])
+                self._qcentroid2 = np.asarray(out["qcentroid2"])
+                self._base_ids = np.asarray(out["base_ids"])
+                self._congruent_ids = np.asarray(out["congruent_ids"])
+                # improvement callback (ref:hpp:458-465, fraction = -1)
+                visitor(-1.0, self._best_lcp,
+                        self._visitor_transform(needs_global))
+
+            fraction_try = self._trial / self.number_of_trials
+            fraction_time = ((time.perf_counter() - t0)
+                             / opts.max_time_seconds)
+            fraction = max(fraction_time, fraction_try)
+            visitor(min(fraction, 1.0), self._best_lcp,
+                    self._visitor_transform(needs_global))
+
+            # stop rules (ref:hpp:255)
+            if (self._best_lcp > opts.terminate_threshold
+                    or self._trial > self.number_of_trials
+                    or fraction >= 0.99
+                    or self._best_lcp == 1.0):
+                break
+
+    # ------------------------------------------------------------------
+
+    def _global_transform(self) -> np.ndarray:
+        """Recompose the centered-frame best transform into original
+        coordinates (ref:hpp:224-229)."""
+        out = np.array(self._transform, dtype=np.float32)
+        rot = out[:3, :3]
+        out[:3, 3] = (self._qcentroid1 + self._centroid_p
+                      - rot @ (self._qcentroid2 + self._centroid_q))
+        return out
+
+    def _visitor_transform(self, needs_global: bool) -> np.ndarray:
+        return (self._global_transform() if needs_global
+                else np.array(self._transform))
+
+    def export_state(self) -> dict:
+        """Serializable RANSAC state (checkpoint/resume; the analog of
+        ref:match4pcsBase.h:131-161 + hpp:236/258 resume design)."""
+        return {
+            "trial": self._trial,
+            "best_lcp": self._best_lcp,
+            "transform": self._transform.tolist(),
+            "qcentroid1": self._qcentroid1.tolist(),
+            "qcentroid2": self._qcentroid2.tolist(),
+            "base_ids": self._base_ids.tolist(),
+            "congruent_ids": self._congruent_ids.tolist(),
+        }
+
+
+class Match4PCS(Match4PCSBase):
+    """Quadratic-mode matcher (ref:src/super4pcs/algorithms/4pcs.h:52):
+    congruent join on invariant-point distance only."""
+    _cone_mode = -1.0
+
+
+class MatchSuper4PCS(Match4PCSBase):
+    """Smart-indexing-mode matcher (ref:src/super4pcs/algorithms/
+    super4pcs.h:56): adds the pair-direction cone filter to the join."""
+
+    def __init__(self, options: Options, logger: Optional[Logger] = None):
+        super().__init__(options, logger)
+        self._cone_mode = options.cone_cos_tolerance

@@ -1,0 +1,67 @@
+"""Uniform-distance (voxel grid) decimation.
+
+TPU-native equivalent of ``Sampling::UniformDistSampler``
+(ref:src/super4pcs/sampling.h:59-121): the reference dedups points into
+``floor(p / delta)`` voxels through a linear-probed hash table, keeping
+the *first* point that lands in each voxel. Here the same semantics fall
+out of a sorted ``unique`` over quantized int keys — no probing, no
+magic-prime hash, and exact (the reference hash can alias distinct
+voxels only on 64-bit collisions; unique keys cannot).
+
+Sampling runs once per registration on the host (numpy); it is
+IO-adjacent, not a hot loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cloud import PointCloud
+
+
+def voxel_indices(pos: np.ndarray, voxel: float) -> np.ndarray:
+    """Indices of the first point in each occupied voxel, in input order.
+
+    Matches the keep-first-per-voxel rule of
+    ref:sampling.h:105-121 (``if (ind >= num_input) output.push_back``).
+    """
+    if voxel <= 0:
+        raise ValueError(f"voxel size must be > 0, got {voxel}")
+    cells = np.floor(pos.astype(np.float64) / voxel).astype(np.int64)
+    # Unique over rows: first occurrence per voxel, then restore input order.
+    _, first = np.unique(cells, axis=0, return_index=True)
+    first.sort()
+    return first
+
+
+def uniform_dist_sample(cloud: PointCloud, delta: float) -> PointCloud:
+    """Voxel-grid decimation at resolution ``delta``."""
+    return cloud.take(voxel_indices(cloud.pos, delta))
+
+
+def sample_for_matching(
+    cloud: PointCloud,
+    delta: float,
+    sample_size: int,
+    truncate: bool,
+    rng: np.random.Generator | None = None,
+) -> PointCloud:
+    """Sampling policy of ``Match4PCSBase::init``
+    (ref:algorithms/match4pcsBase.hpp:112-138):
+
+    - if the cloud has <= sample_size points, use it whole (the
+      reference logs "More samples requested than available");
+    - otherwise voxel-decimate at ``delta``;
+    - with ``truncate=True`` (the Q side, ref:hpp:129-132) additionally
+      shuffle and keep sample_size points. The P side keeps the full
+      voxel-sampled set (``truncate=False``).
+    """
+    if len(cloud) <= sample_size:
+        return cloud
+    sampled = uniform_dist_sample(cloud, delta)
+    if not truncate or len(sampled) <= sample_size:
+        return sampled
+    if rng is None:
+        rng = np.random.default_rng(0)
+    perm = rng.permutation(len(sampled))[:sample_size]
+    return sampled.take(perm)

@@ -1,0 +1,101 @@
+"""Registration options.
+
+TPU-native equivalent of the reference ``Match4PCSOptions``
+(ref:src/super4pcs/shared4pcs.h:148-190): a frozen dataclass so it can be
+hashed and closed over by jitted step functions. Library defaults match
+the reference library layer (delta=5.0, overlap=0.2, n=200, t=60 s); the
+CLI layer overrides max_time_seconds to 10 s, mirroring
+ref:demos/demo-utils.h:80-102.
+
+On top of the reference fields we expose the static capacities that make
+the data-dependent parts of the algorithm compile to fixed shapes on TPU
+(pair/quad buffer caps, bases per device step). These have no reference
+counterpart — the reference grows std::vectors; XLA needs static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# std::mt19937::default_seed — ref:src/super4pcs/shared4pcs.h:171
+MT19937_DEFAULT_SEED = 5489
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    # --- reference-visible parameters (ref:shared4pcs.h:148-190) ---
+    #: LCP distance threshold; also the voxel size of the uniform sampler.
+    delta: float = 5.0
+    #: Maximum normal difference in degrees between paired points (<0: off).
+    max_normal_difference: float = -1.0
+    #: Maximum translation distance (<0: off).
+    max_translation_distance: float = -1.0
+    #: Maximum rotation angle in degrees (<0: off).
+    max_angle: float = -1.0
+    #: Maximum RGB color distance between corresponding vertices (<0: off).
+    max_color_distance: float = -1.0
+    #: Number of points sampled from Q (P keeps its full voxel-sampled set,
+    #: mirroring ref:match4pcsBase.hpp:112-138).
+    sample_size: int = 200
+    #: Anytime budget in seconds (ref:shared4pcs.h:166-169).
+    max_time_seconds: int = 60
+    #: RNG seed (ref:shared4pcs.h:171).
+    random_seed: int = MT19937_DEFAULT_SEED
+
+    # validated pair, set via configure_overlap (ref:shared4pcs.h:173-190)
+    overlap_estimation: float = 0.2
+    terminate_threshold: float = 1.0
+
+    # --- TPU execution shape parameters (no reference counterpart) ---
+    #: Bases attempted per jitted device step (vmapped RANSAC width).
+    bases_per_step: int = 16
+    #: Static capacity of each per-base extracted-pair buffer. ``None``
+    #: derives a capacity from sample_size at matcher init.
+    max_pairs: Optional[int] = None
+    #: Static capacity of the per-base congruent-quad buffer.
+    max_quads: int = 512
+    #: Cosine tolerance of the Super4PCS pair-direction cone filter. The
+    #: reference realizes this filter as a 7^3-bin direction-grid cone
+    #: rasterization (ref:accelerators/normalset.hpp:162-210); the bin
+    #: resolution makes its effective tolerance ~2/7 in component space.
+    cone_cos_tolerance: float = 0.30
+    #: Number of random triangle draws when picking a wide base triangle
+    #: (ref:match4pcsBase.h:79 kNumberOfDiameterTrials).
+    n_triangle_trials: int = 1000
+
+    def configure_overlap(self, overlap: float,
+                          terminate_threshold: float = 1.0) -> "Options":
+        """Validated overlap setter (ref:shared4pcs.h:173-179).
+
+        Returns a new Options; raises ValueError when
+        terminate_threshold < overlap, mirroring the reference's
+        ``configureOverlap`` returning false.
+        """
+        if terminate_threshold < overlap:
+            raise ValueError(
+                f"terminate_threshold ({terminate_threshold}) must be >= "
+                f"overlap ({overlap})")
+        return dataclasses.replace(
+            self, overlap_estimation=float(overlap),
+            terminate_threshold=float(terminate_threshold))
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+    def __post_init__(self):
+        if self.delta <= 0:
+            raise ValueError(f"delta must be > 0, got {self.delta}")
+        if self.sample_size < 4:
+            raise ValueError("sample_size must be >= 4")
+        if self.terminate_threshold < self.overlap_estimation:
+            raise ValueError(
+                "terminate_threshold must be >= overlap_estimation; use "
+                "configure_overlap to set both")
+
+
+# Constants shared with the reference algorithm core.
+# ref:src/super4pcs/algorithms/match4pcsBase.h:79-81
+K_NUMBER_OF_DIAMETER_TRIALS = 1000
+K_LARGE_NUMBER = 1e9
+DISTANCE_FACTOR = 2.0

@@ -1,0 +1,88 @@
+"""Congruent-quad join tests: 4PCS-mode parity with a brute-force
+oracle, and the Super4PCS cone filter as a subset of the 4PCS superset —
+the assertion the reference's disabled quad_extraction test intended
+(ref:tests/quad_extraction.cc:66-155, SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from super4pcs_tpu.ops import congruent
+
+
+def oracle_quads(pos, pairs1, pairs2, inv1, inv2, thr2_squared_quirk):
+    """Literal re-derivation of ref:4pcs.cc:62-109: invariant points of
+    pairs1 range-joined against invariant points of pairs2, with the
+    reference's squared-vs-raw threshold quirk."""
+    out = set()
+    for k1, (a, b) in enumerate(pairs1):
+        e1 = pos[a] + inv1 * (pos[b] - pos[a])
+        for k2, (c, d) in enumerate(pairs2):
+            e2 = pos[c] + inv2 * (pos[d] - pos[c])
+            if ((e1 - e2) ** 2).sum() <= thr2_squared_quirk:
+                out.add((a, b, c, d))
+    return out
+
+
+def make_pairs(rng, pos, k):
+    n = len(pos)
+    idx = rng.integers(0, n, size=(k, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    return idx.astype(np.int32)
+
+
+def test_matches_oracle_4pcs_mode(rng):
+    pos = rng.uniform(-1, 1, size=(80, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 50)
+    pairs2 = make_pairs(rng, pos, 50)
+    inv1, inv2 = 0.37, 0.61
+    thr = 0.05
+
+    quads, valid, count = congruent.find_congruent_quads(
+        jnp.asarray(pos),
+        jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+        jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+        inv1, inv2, thr, 0.0, -1.0, capacity=4096)
+    got = {tuple(q) for q, v in zip(np.asarray(quads), np.asarray(valid))
+           if v}
+    expected = oracle_quads(pos, pairs1, pairs2, inv1, inv2, thr)
+    assert got == expected
+    assert int(count) == len(expected)
+
+
+def test_super4pcs_subset_of_4pcs(rng):
+    pos = rng.uniform(-1, 1, size=(80, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 60)
+    pairs2 = make_pairs(rng, pos, 60)
+    inv1, inv2 = 0.5, 0.5
+    thr = 0.1
+    args = (jnp.asarray(pos),
+            jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+            jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+            inv1, inv2, thr, 0.25)
+    q4, v4, _ = congruent.find_congruent_quads(
+        *args, -1.0, capacity=8192)
+    qs, vs, _ = congruent.find_congruent_quads(
+        *args, 0.3, capacity=8192)
+    set4 = {tuple(q) for q, v in zip(np.asarray(q4), np.asarray(v4)) if v}
+    sets = {tuple(q) for q, v in zip(np.asarray(qs), np.asarray(vs)) if v}
+    assert sets <= set4
+    # the cone filter keeps exactly the direction-compatible candidates
+    for (a, b, c, d) in set4:
+        d1 = pos[b] - pos[a]
+        d2 = pos[d] - pos[c]
+        cos = np.dot(d1, d2) / (np.linalg.norm(d1) * np.linalg.norm(d2))
+        if abs(cos - 0.25) <= 0.3 - 1e-5:
+            assert (a, b, c, d) in sets
+
+
+def test_invalid_pairs_excluded(rng):
+    pos = rng.uniform(-1, 1, size=(20, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 10)
+    valid1 = np.zeros(len(pairs1), bool)   # all dead slots
+    pairs2 = make_pairs(rng, pos, 10)
+    quads, valid, count = congruent.find_congruent_quads(
+        jnp.asarray(pos), jnp.asarray(pairs1), jnp.asarray(valid1),
+        jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+        0.5, 0.5, 100.0, 0.0, -1.0, capacity=64)
+    assert int(count) == 0
+    assert not bool(valid.any())

@@ -1,0 +1,164 @@
+"""End-to-end registration on synthetic clouds.
+
+The rebuild analog of the reference's matching integration test
+(ref:tests/matching.cc:309-335): register a transformed copy against
+the original and check rotation/translation recovery within the same
+thresholds (rotDiff <= 0.2 quaternion units, trDiff <= 0.1)."""
+
+import numpy as np
+import pytest
+
+from super4pcs_tpu import Match4PCS, MatchSuper4PCS, Options, PointCloud
+from super4pcs_tpu.api import register
+
+
+def sphere_cloud(rng, n, radius=1.0):
+    """Random cloud on the unit sphere with outward normals — the
+    reference's generateSphereCloud fixture (ref:tests/testing.h:157-168)."""
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = (v * radius).astype(np.float32)
+    return pos, v.astype(np.float32)
+
+
+def bumpy_cloud(rng, n):
+    """Sphere with angular bumps — breaks the sphere's rotational
+    symmetry so the registration has a unique solution."""
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    bump = (1.0 + 0.3 * np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
+            + 0.2 * np.sin(4 * v[:, 2]))
+    return (v * bump[:, None]).astype(np.float32)
+
+
+def rot_tr_diff(got, expected):
+    """Quaternion + translation distance as in ref:matching.cc:309-335."""
+    def quat(m):
+        r = m[:3, :3]
+        t = np.trace(r)
+        if t > 0:
+            s = np.sqrt(t + 1.0) * 2
+            q = np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s,
+                          (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+        else:
+            i = np.argmax(np.diag(r))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            s = np.sqrt(max(r[i, i] - r[j, j] - r[k, k] + 1.0, 1e-12)) * 2
+            q = np.zeros(4)
+            q[0] = (r[k, j] - r[j, k]) / s
+            q[i + 1] = 0.25 * s
+            q[j + 1] = (r[j, i] + r[i, j]) / s
+            q[k + 1] = (r[k, i] + r[i, k]) / s
+        return q / np.linalg.norm(q)
+
+    qa, qe = quat(got), quat(expected)
+    rot_diff = min(np.linalg.norm(qa - qe), np.linalg.norm(qa + qe))
+    tr_diff = np.linalg.norm(got[:3, 3] - expected[:3, 3]) / max(
+        np.linalg.norm(expected[:3, 3]), 1.0)
+    return rot_diff, tr_diff
+
+
+def run_registration(matcher_cls, rng, make_transform, n=400,
+                     delta=0.05, overlap=0.9):
+    pos = bumpy_cloud(rng, n)
+    mat = make_transform(max_translation=0.5)
+    inv = np.linalg.inv(mat)
+    # source = target moved by inv(mat); registering source onto target
+    # must recover mat
+    q_pos = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+
+    opts = Options(delta=delta, sample_size=200, max_time_seconds=30,
+                   bases_per_step=8, max_quads=256,
+                   random_seed=7).configure_overlap(overlap)
+    matcher = matcher_cls(opts)
+    res = matcher.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q_pos))
+    return res, mat, pos, q_pos
+
+
+@pytest.mark.parametrize("matcher_cls", [Match4PCS, MatchSuper4PCS])
+def test_recovers_rigid_transform(matcher_cls, rng, make_transform):
+    res, mat, pos, q_pos = run_registration(matcher_cls, rng,
+                                            make_transform)
+    assert res.improved
+    assert res.score > 0.8, f"LCP too low: {res.score}"
+    # transformed source must land on the target
+    moved = q_pos @ res.transform[:3, :3].T + res.transform[:3, 3]
+    d2 = ((moved[:, None, :] - pos[None, :, :]) ** 2).sum(-1).min(1)
+    frac = (np.sqrt(d2) < 0.05).mean()
+    assert frac > 0.8, f"only {frac:.2f} of points aligned"
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2, rot_diff       # ref:matching.cc:333
+    assert tr_diff <= 0.1, tr_diff         # ref:matching.cc:334
+
+
+def test_register_api(rng, make_transform):
+    pos = bumpy_cloud(rng, 300)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    res = register(pos, q, overlap=0.9, delta=0.05, sample_size=150,
+                   max_time_seconds=30)
+    assert res.score > 0.7
+    assert res.transformed_q is not None
+    d2 = ((res.transformed_q.pos[:, None, :] - pos[None, :, :]) ** 2
+          ).sum(-1).min(1)
+    assert (np.sqrt(d2) < 0.05).mean() > 0.7
+
+
+def test_empty_inputs_return_large_number():
+    opts = Options(delta=0.1)
+    matcher = MatchSuper4PCS(opts)
+    res = matcher.compute_transformation(
+        PointCloud(pos=np.zeros((0, 3))),
+        PointCloud(pos=np.ones((5, 3))))
+    assert res.score >= 1e8  # kLargeNumber contract (ref:hpp:69-70)
+
+
+def test_visitor_stream(rng, make_transform):
+    pos = bumpy_cloud(rng, 200)
+    mat = make_transform()
+    inv = np.linalg.inv(mat)
+    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+
+    calls = []
+
+    class Recorder:
+        def __call__(self, fraction, lcp, transform):
+            calls.append((fraction, lcp, np.array(transform)))
+
+        def needs_global_transformation(self):
+            return True
+
+    opts = Options(delta=0.05, sample_size=100, max_time_seconds=20,
+                   bases_per_step=4).configure_overlap(0.9)
+    MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q), visitor=Recorder())
+    assert calls[0][0] == 0.0                       # loop-start callback
+    assert any(f == -1.0 for f, _, _ in calls)      # improvement callbacks
+    assert calls[-1][0] > 0.0
+    # lcp is monotonically non-decreasing across the stream
+    lcps = [l for _, l, _ in calls]
+    assert all(b >= a - 1e-9 for a, b in zip(lcps, lcps[1:]))
+
+
+def test_anytime_budget(rng):
+    # overlap 0.2 -> ~24k trials; a tiny time budget must stop early
+    pos = bumpy_cloud(rng, 300)
+    opts = Options(delta=0.05, sample_size=100, max_time_seconds=1,
+                   bases_per_step=4).configure_overlap(0.2)
+    matcher = MatchSuper4PCS(opts)
+    res = matcher.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=pos.copy()))
+    assert res.n_trials < matcher.number_of_trials
+
+
+def test_state_export(rng, make_transform):
+    res, mat, pos, q = run_registration(MatchSuper4PCS, rng, make_transform,
+                                        n=200)
+    matcher = MatchSuper4PCS(Options(delta=0.05).configure_overlap(0.9))
+    matcher.compute_transformation(PointCloud(pos=pos), PointCloud(pos=q))
+    state = matcher.export_state()
+    assert state["trial"] > 0
+    assert 0.0 <= state["best_lcp"] <= 1.0
+    assert np.asarray(state["transform"]).shape == (4, 4)
