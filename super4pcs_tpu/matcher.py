@@ -183,7 +183,7 @@ class Match4PCSBase:
         self._trial = 0
         self._stats = {
             "pairs_overflow": 0, "quads_overflow": 0,
-            "cands_overflow": 0, "n_congruent": 0,
+            "cands_overflow": 0, "n_congruent": 0, "cell_dropped": 0,
         }
 
         # best-so-far state (ref:match4pcsBase.h:131-161)
@@ -210,9 +210,17 @@ class Match4PCSBase:
     def _build_step(self):
         opts = self.options
         nq = int(self._d_q_pos.shape[0])
-        k_pairs = opts.max_pairs or _round_up(max(4 * nq, 256), 128)
-        k_quads = _round_up(opts.max_quads, 128)
-        n_cands = min(_round_up(opts.bases_per_step * 128, 128),
+        # Capacity defaults. The reference keeps *all* pairs and scores
+        # *every* congruent quad (ref:hpp:390-393); undersized buffers
+        # silently drop true candidates, so defaults err generous —
+        # pair counts scale ~ nq^2 * shell fraction, quad counts with
+        # the invariant-point collision rate (both observed ~5-10 * nq
+        # at reference operating points).
+        k_pairs = opts.max_pairs or _round_up(
+            min(nq * nq, max(16 * nq, 512)), 128)
+        k_quads = _round_up(
+            opts.max_quads or min(max(8 * nq, 512), 8192), 128)
+        n_cands = min(opts.max_candidates or opts.bases_per_step * k_quads,
                       opts.bases_per_step * k_quads)
 
         cfg = PairFilterConfig(
@@ -222,7 +230,10 @@ class Match4PCSBase:
             max_angle=opts.max_angle,
         )
         eps_pairs = DISTANCE_FACTOR * opts.delta       # ref:hpp:328-331
-        dist_thr2 = DISTANCE_FACTOR * opts.delta       # ref:hpp:340-347
+        # Join radius: squared-vs-squared contract — deliberate divergence
+        # from the reference's squared-vs-raw quirk (see ops/congruent.py
+        # module docstring).
+        dist_thr = DISTANCE_FACTOR * opts.delta        # ref:hpp:340-347
         cone_tol = self._cone_mode
         max_angle_rad = (opts.max_angle * math.pi / 180.0
                          if opts.max_angle >= 0 else -1.0)
@@ -253,9 +264,11 @@ class Match4PCSBase:
                 s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
                 s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
 
-            quads, qvalid, qcount = congruent.find_congruent_quads(
-                q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
-                dist_thr2, cos_alpha, cone_tol, k_quads)
+            quads, qvalid, qcount, qdropped = \
+                congruent.find_congruent_quads_grid(
+                    q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
+                    dist_thr, cos_alpha, cone_tol, k_quads,
+                    cell_candidates=opts.cell_candidates)
             qvalid = qvalid & bvalid
 
             cand = q_pos[quads]                         # (Kq, 4, 3)
@@ -268,7 +281,7 @@ class Match4PCSBase:
             return dict(transform=transform, cvalid=cvalid,
                         centroid1=centroid1, centroid2=centroid2,
                         ids=ids, quads=quads,
-                        counts=jnp.stack([c1, c2, qcount]))
+                        counts=jnp.stack([c1, c2, qcount, qdropped]))
 
         def step(key, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
             keys = jax.random.split(key, b_per_step)
@@ -318,6 +331,14 @@ class Match4PCSBase:
         visitor(0.0, self._best_lcp,
                 self._visitor_transform(needs_global))
 
+        # Compile before starting the anytime clock: the reference's
+        # max_time budget (ref:hpp:239-244) measures search time; XLA
+        # compilation is a one-time cost amortized by the jit cache.
+        args = (jax.random.fold_in(self._key, 0),
+                self._d_p_pos, self._d_p_norm, self._d_p_rgb,
+                self._d_q_pos, self._d_q_norm, self._d_q_rgb)
+        self._step_fn = self._step_fn.lower(*args).compile()
+
         t0 = time.perf_counter()
         step_idx = 0
         while True:
@@ -335,6 +356,7 @@ class Match4PCSBase:
                 (counts[:, :2] > self._k_pairs).sum())
             self._stats["quads_overflow"] += int(
                 (counts[:, 2] > self._k_quads).sum())
+            self._stats["cell_dropped"] += int(counts[:, 3].sum())
             self._stats["cands_overflow"] += int(
                 int(out["n_congruent"]) > self._n_cands)
 

@@ -19,16 +19,24 @@ cell containing the query point, so it can drop true matches whose
 invariant point falls in an adjacent cell; the dense form has no such
 misses (it is a superset, then exactly validated).
 
-Threshold quirk kept for parity: both reference variants compare a
-*squared* distance against the *unsquared* ``distance_threshold2``
+Threshold quirk *not* kept: both reference variants compare a *squared*
+distance against the *unsquared* ``distance_threshold2``
 (ref:4pcs.cc:97-99, super4pcs.cc:160), making the effective radius
-``sqrt(2 * delta)``. We reproduce that contract (documented, not
-accidental) so candidate sets match the reference.
+``sqrt(2 * delta)`` — scale-dependent and unintended (~14x too wide at
+delta=0.01, too narrow at delta>0.5). The inflated radius produces
+10^5-10^6 spurious congruent quads per base, which the reference
+absorbs through per-candidate early exits but which would swamp a
+batched scorer. We use the geometrically intended contract: squared
+distance vs squared radius, ``d^2 <= threshold^2``. Candidates the
+quirk would add are false positives that the reference's own
+rms-vs-2*delta gate (ref:hpp:439) rejects later, so LCP quality is
+unaffected. Divergence decided per SURVEY.md §3.3/§7 hard-part (d).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .masking import masked_indices
 
@@ -52,7 +60,7 @@ def find_congruent_quads(
     pairs1, valid1,            # (K,2) int32, (K,) bool — base edge (0,1)
     pairs2, valid2,            # (K,2) int32, (K,) bool — base edge (2,3)
     invariant1, invariant2,
-    distance_threshold2,       # compared against SQUARED distance (quirk)
+    distance_threshold,        # join radius (squared-vs-squared compare)
     base_cos_alpha,            # cos of the angle between the base segments
     cone_cos_tolerance,        # <0: disable the cone filter (4PCS mode)
     capacity: int,
@@ -68,13 +76,14 @@ def find_congruent_quads(
     e2 = invariant_points(pos, pairs2, invariant2)     # (K2, 3)
 
     d2 = jnp.sum((e1[:, None, :] - e2[None, :, :]) ** 2, axis=-1)
-    mask = d2 <= distance_threshold2                   # squared-vs-raw quirk
+    mask = d2 <= distance_threshold * distance_threshold
     mask = mask & valid1[:, None] & valid2[None, :]
 
     if cone_cos_tolerance >= 0:
         dir1 = pair_directions(pos, pairs1)
         dir2 = pair_directions(pos, pairs2)
-        cos12 = dir1 @ dir2.T                          # (K1, K2)
+        cos12 = jnp.einsum('id,jd->ij', dir1, dir2,
+                           precision='highest')           # (K1, K2)
         mask = mask & (jnp.abs(cos12 - base_cos_alpha)
                        <= cone_cos_tolerance)
 
@@ -84,3 +93,110 @@ def find_congruent_quads(
     i2 = flat_idx % k2
     quads = jnp.concatenate([pairs1[i1], pairs2[i2]], axis=-1)
     return quads.astype(jnp.int32), valid, count
+
+
+# ---------------------------------------------------------------------------
+# Grid-hash join — the TPU-native "smart indexing" (Super4PCS) form.
+# ---------------------------------------------------------------------------
+
+# Spatial-hash primes (any fixed odd constants work; collisions only add
+# candidates that the exact distance mask removes).
+_HP1, _HP2, _HP3 = 73856093, 19349669, 83492791
+
+# Corner-neighbor offsets: with cell size 2r, a radius-r ball around any
+# query intersects at most 2 cells per axis -> 8 cells total.
+_CORNER_OFFSETS = np.array(
+    [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+    dtype=np.int32)
+
+
+def _cell_hash(cells):
+    """int32 spatial hash of (..., 3) integer cell coordinates."""
+    return (cells[..., 0] * _HP1) ^ (cells[..., 1] * _HP2) \
+        ^ (cells[..., 2] * _HP3)
+
+
+def find_congruent_quads_grid(
+    pos,
+    pairs1, valid1,
+    pairs2, valid2,
+    invariant1, invariant2,
+    distance_threshold,
+    base_cos_alpha,
+    cone_cos_tolerance,
+    capacity: int,
+    cell_candidates: int = 16,
+):
+    """Output-sensitive congruent-set join via a sorted spatial hash.
+
+    The TPU re-design of Super4PCS's ``IndexedNormalSet`` position-grid
+    + direction-bin cone rasterization (ref:src/super4pcs/accelerators/
+    normalset.hpp:110-210, algorithms/super4pcs.cc:80-177): instead of
+    pointer grids and circle rendering, invariant points of the first
+    pair set are hashed into cells of size ``2 * distance_threshold``
+    and sorted by hash; each second-set invariant point probes the 8
+    corner-neighbor cells with two ``searchsorted`` calls, takes up to
+    ``cell_candidates`` entries per cell, and validates exactly
+    (distance + cone mask). Exact up to the per-cell candidate cap
+    (overflow is counted); hash collisions only add candidates that the
+    exact mask removes.
+
+    Same contract as :func:`find_congruent_quads` (the dense oracle),
+    plus a second returned count of per-cell overflow drops.
+
+    Returns (quads, valid, count, dropped).
+    """
+    r = distance_threshold
+    cell = 2.0 * r
+    k1 = pairs1.shape[0]
+    k2 = pairs2.shape[0]
+    L = cell_candidates
+
+    e1 = invariant_points(pos, pairs1, invariant1)     # (K1, 3)
+    e2 = invariant_points(pos, pairs2, invariant2)     # (K2, 3)
+
+    # hash e1 cells; invalid entries get a sentinel hash kept out of the
+    # way by sorting on (valid, hash) pairs
+    cells1 = jnp.floor(e1 / cell).astype(jnp.int32)
+    h1 = _cell_hash(cells1)
+    h1 = jnp.where(valid1, h1, jnp.int32(2147483647))
+    order = jnp.argsort(h1)
+    h1s = h1[order]
+
+    # 8 corner cells per query
+    base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)   # (K2, 3)
+    probe = base_cell[:, None, :] + jnp.asarray(_CORNER_OFFSETS)  # (K2,8,3)
+    hq = _cell_hash(probe)                                     # (K2, 8)
+
+    # method='sort' lowers to one concatenated sort — the TPU-friendly
+    # form (binary-search scans serialize on TPU).
+    lo = jnp.searchsorted(h1s, hq.reshape(-1), side='left', method='sort')
+    hi = jnp.searchsorted(h1s, hq.reshape(-1), side='right', method='sort')
+    lo = lo.reshape(k2, 8)
+    hi = hi.reshape(k2, 8)
+
+    # up to L sorted-order slots per probed cell
+    slot = lo[..., None] + jnp.arange(L, dtype=lo.dtype)       # (K2,8,L)
+    in_cell = slot < hi[..., None]
+    slot = jnp.clip(slot, 0, k1 - 1)
+    i1 = order[slot]                                           # (K2,8,L)
+
+    # exact validation
+    d2 = jnp.sum((e1[i1] - e2[:, None, None, :]) ** 2, axis=-1)
+    mask = in_cell & (d2 <= r * r)
+    mask &= valid1[i1] & valid2[:, None, None]
+
+    if cone_cos_tolerance >= 0:
+        dir1 = pair_directions(pos, pairs1)
+        dir2 = pair_directions(pos, pairs2)
+        cos12 = jnp.sum(dir1[i1] * dir2[:, None, None, :], axis=-1)
+        mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance
+
+    flat_i1 = i1.reshape(-1)
+    flat_mask = mask.reshape(-1)
+    sel, valid, count = masked_indices(flat_mask, capacity)
+    q1 = pairs1[flat_i1[sel]]
+    q2 = pairs2[sel // (8 * L)]
+    quads = jnp.concatenate([q1, q2], axis=-1)
+    dropped = jnp.sum(jnp.maximum(hi - lo - L, 0), dtype=jnp.int32)
+    return quads.astype(jnp.int32), valid, count, dropped

@@ -154,15 +154,17 @@ def batched_rigid_fit(ref_quad, cand_quads, centroid1, centroid2,
     eps = 1e-6  # kSmallNumber, ref:cc:377
 
     def frame(p0, p1, p2):
-        v1 = p1 - p0
-        n1 = jnp.sum(v1 * v1, axis=-1)
-        v1 = v1 * jax.lax.rsqrt(jnp.maximum(n1, 1e-30))[..., None]
-        v2 = (p2 - p0) - jnp.sum((p2 - p0) * v1, axis=-1)[..., None] * v1
-        n2 = jnp.sum(v2 * v2, axis=-1)
-        v2 = v2 * jax.lax.rsqrt(jnp.maximum(n2, 1e-30))[..., None]
-        v3 = jnp.cross(v1, v2)
-        n3 = jnp.sum(v3 * v3, axis=-1)
-        v3 = v3 * jax.lax.rsqrt(jnp.maximum(n3, 1e-30))[..., None]
+        # NB: exact 1/sqrt, not lax.rsqrt — the approximate rsqrt's
+        # ~1e-3 relative error breaks the (R R)_ii - 1 <= 1e-6
+        # orthogonality gate below.
+        def unit(v):
+            n = jnp.sum(v * v, axis=-1)
+            return v / jnp.sqrt(jnp.maximum(n, 1e-30))[..., None], n
+
+        v1, n1 = unit(p1 - p0)
+        v2, n2 = unit((p2 - p0)
+                      - jnp.sum((p2 - p0) * v1, axis=-1)[..., None] * v1)
+        v3, n3 = unit(jnp.cross(v1, v2))
         ok = (n1 > 0) & (n2 > 0) & (n3 > 0)
         return jnp.stack([v1, v2, v3], axis=-2), ok   # rows are the frame
 
@@ -171,11 +173,13 @@ def batched_rigid_fit(ref_quad, cand_quads, centroid1, centroid2,
                         cand_quads[:, 2])                           # (C,3,3)
 
     # R = Rp^T Rq  (ref:cc:449)
-    rotation = jnp.einsum('ij,cik->cjk', rot_p, rot_q)
+    rotation = jnp.einsum('ij,cik->cjk', rot_p, rot_q,
+                          precision=jax.lax.Precision.HIGHEST)
 
     # Orthogonality gate exactly as written in the reference:
     # diag(R @ R) - 1 > eps  (ref:cc:453 uses rotation*rotation, not R^T R).
-    rr_diag = jnp.einsum('cij,cji->ci', rotation, rotation)
+    rr_diag = jnp.einsum('cij,cji->ci', rotation, rotation,
+                         precision=jax.lax.Precision.HIGHEST)
     ortho_ok = jnp.all(rr_diag - 1.0 <= eps, axis=-1)
 
     # Euler-angle gate (ref:cc:457-472), active when max_angle >= 0.
@@ -192,12 +196,14 @@ def batched_rigid_fit(ref_quad, cand_quads, centroid1, centroid2,
 
     # RMS over the first three points (ref:cc:477-489; sum / 4).
     first = cand_quads[:, :3, :] - centroid2[:, None, :]           # (C,3,3)
-    transformed = jnp.einsum('cij,ckj->cki', rotation, first)
+    transformed = jnp.einsum('cij,ckj->cki', rotation, first,
+                             precision=jax.lax.Precision.HIGHEST)
     resid = transformed - (ref_quad[None, :3, :] - centroid1)
     rms = jnp.linalg.norm(resid, axis=-1).sum(axis=-1) / 4.0
 
     # transform: x -> R (x - c2) + c1  (ref:cc:491-497, scale = 1)
-    t = centroid1 - jnp.einsum('cij,cj->ci', rotation, centroid2)
+    t = centroid1 - jnp.einsum('cij,cj->ci', rotation, centroid2,
+                               precision=jax.lax.Precision.HIGHEST)
     transform = (jnp.zeros((cand_quads.shape[0], 4, 4))
                  .at[:, :3, :3].set(rotation)
                  .at[:, :3, 3].set(t)
@@ -225,7 +231,8 @@ def global_transform(transform, qcentroid1, qcentroid2,
     """
     rot = transform[..., :3, :3]
     t = (qcentroid1 + centroid_p
-         - jnp.einsum('...ij,...j->...i', rot, qcentroid2 + centroid_q))
+         - jnp.einsum('...ij,...j->...i', rot, qcentroid2 + centroid_q,
+                      precision='highest'))
     out = transform.at[..., :3, 3].set(t) if hasattr(transform, "at") else None
     if out is None:
         out = np.array(transform)

@@ -10,9 +10,12 @@ are scored in one batched, tiled min-distance program:
 
 The cross term rides the MXU via the ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b
 expansion; P is processed in blocks with a running minimum so the full
-C x |Q| x |P| distance tensor never materializes. A Pallas kernel
-version lives in ``super4pcs_tpu.kernels.lcp_pallas``; this XLA fallback
-is the oracle (exact same math) and the CPU-test path.
+C x |Q| x |P| distance tensor never materializes. The expansion loses
+~|a|^2 * eps_f32 of absolute precision to cancellation, so it is used
+only to find the *argmin* neighbor; the winning distance is then
+recomputed exactly as sum((a-b)^2) before the threshold test. A Pallas
+kernel version lives in ``super4pcs_tpu.kernels.lcp_pallas``; this XLA
+fallback is the oracle (exact same math) and the CPU-test path.
 
 No early exit is needed: the batched argmax over candidates replaces the
 reference's shared-mutable ``best_LCP_`` + ``omp critical`` pattern
@@ -27,6 +30,10 @@ import jax.numpy as jnp
 # Padding sentinel: far enough that padded P points never win the min,
 # small enough that |pad|^2 stays finite in float32.
 _PAD = 1.0e18
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
 
 
 def _pad_rows(x, multiple, value):
@@ -56,6 +63,9 @@ def lcp_scores(transforms, q_pos, p_pos, epsilon,
     c = transforms.shape[0]
     nq = q_pos.shape[0]
 
+    # never pad P beyond the next lane multiple (small clouds would
+    # otherwise burn p_block/|P| of the matmul on padding)
+    p_block = min(p_block, _round_up(p_pos.shape[0], 128))
     p_pad = _pad_rows(p_pos, p_block, _PAD)
     n_pblocks = p_pad.shape[0] // p_block
     p_blocks = p_pad.reshape(n_pblocks, p_block, 3)
@@ -72,19 +82,37 @@ def lcp_scores(transforms, q_pos, p_pos, epsilon,
         rot = tr[:, :3, :3]
         trans = tr[:, :3, 3]
         tq = jnp.einsum('cij,nj->cni', rot, q_pos,
-                        preferred_element_type=jnp.float32) + trans[:, None]
+                        precision=jax.lax.Precision.HIGHEST) + trans[:, None]
         tq_sq = jnp.sum(tq * tq, axis=-1)                 # (cc, nq)
 
-        def body(min_d2, blk):
-            pb, pb_sq = blk
+        def body(carry, blk):
+            min_d2, min_idx = carry
+            pb, pb_sq, base = blk
+            # HIGHEST: on TPU the default bf16 matmul precision loses
+            # ~0.4% relative — enough to misrank near-tied neighbors,
+            # which the exact recompute below cannot repair.
             cross = jnp.einsum('cni,mi->cnm', tq, pb,
-                               preferred_element_type=jnp.float32)
+                               precision=jax.lax.Precision.HIGHEST)
             d2 = tq_sq[..., None] + pb_sq[None, None, :] - 2.0 * cross
-            return jnp.minimum(min_d2, jnp.min(d2, axis=-1)), None
+            blk_arg = jnp.argmin(d2, axis=-1)             # (cc, nq)
+            blk_min = jnp.take_along_axis(
+                d2, blk_arg[..., None], axis=-1)[..., 0]
+            better = blk_min < min_d2
+            min_d2 = jnp.where(better, blk_min, min_d2)
+            min_idx = jnp.where(better, base + blk_arg, min_idx)
+            return (min_d2, min_idx), None
 
-        init = jnp.full((tr.shape[0], nq), jnp.inf, dtype=jnp.float32)
-        min_d2, _ = jax.lax.scan(body, init, (p_blocks, p_sq))
-        return jnp.mean(min_d2 <= sq_eps, axis=-1)
+        init = (jnp.full((tr.shape[0], nq), jnp.inf, dtype=jnp.float32),
+                jnp.zeros((tr.shape[0], nq), dtype=jnp.int32))
+        bases = (jnp.arange(n_pblocks, dtype=jnp.int32) * p_block)
+        (_, min_idx), _ = jax.lax.scan(body, init, (p_blocks, p_sq, bases))
+
+        # Exact recompute of the winning neighbor distance: the expansion
+        # above is only trusted to pick the argmin; cancellation error
+        # (~|a|^2 * 1.2e-7) would otherwise swamp small epsilons.
+        nearest = p_pad[min_idx]                          # (cc, nq, 3)
+        d2_exact = jnp.sum((tq - nearest) ** 2, axis=-1)
+        return jnp.mean(d2_exact <= sq_eps, axis=-1)
 
     scores = jax.lax.map(score_chunk, t_chunks).reshape(-1)
     return scores[:c]

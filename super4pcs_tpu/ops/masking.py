@@ -21,15 +21,17 @@ def masked_indices(mask: jnp.ndarray, capacity: int):
     bits (may exceed capacity — callers use it to report overflow).
     """
     n = mask.shape[0]
-    keys = jnp.where(mask, jnp.arange(n, dtype=jnp.int32),
-                     jnp.int32(n))
-    k = min(capacity, n)
-    # top_k of the negation -> the k smallest keys, ascending.
-    neg_top, _ = jax.lax.top_k(-keys, k)
-    idx = -neg_top
-    if k < capacity:
-        idx = jnp.concatenate(
-            [idx, jnp.full((capacity - k,), n, dtype=jnp.int32)])
+    # O(n) stream compaction: exclusive prefix sum assigns each True
+    # element its output slot; a scatter writes them. Replaces a top_k
+    # (full sort) formulation that dominated step time at join sizes of
+    # ~10^7 elements. Overflow (slot >= capacity) is routed to a dump
+    # slot and dropped.
+    pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
+    target = jnp.where(mask & (pos < capacity), pos, capacity)
+    out = jnp.full((capacity + 1,), n, dtype=jnp.int32)
+    out = out.at[target].set(jnp.arange(n, dtype=jnp.int32),
+                             mode="drop", unique_indices=False)
+    idx = out[:capacity]
     valid = idx < n
     idx = jnp.where(valid, idx, 0)
     count = jnp.sum(mask, dtype=jnp.int32)

@@ -51,10 +51,16 @@ class Options:
     #: Bases attempted per jitted device step (vmapped RANSAC width).
     bases_per_step: int = 16
     #: Static capacity of each per-base extracted-pair buffer. ``None``
-    #: derives a capacity from sample_size at matcher init.
+    #: derives a capacity from the sampled-Q size at matcher init.
     max_pairs: Optional[int] = None
-    #: Static capacity of the per-base congruent-quad buffer.
-    max_quads: int = 512
+    #: Static capacity of the per-base congruent-quad buffer. ``None``
+    #: derives from the pair capacity. Candidates beyond capacity are
+    #: dropped (and counted in stats) — the reference scores every
+    #: congruent quad, so capacities must be generous, not minimal.
+    max_quads: Optional[int] = None
+    #: Cap on candidates LCP-scored per device step. ``None`` scores all
+    #: bases_per_step * max_quads candidates (the reference semantics).
+    max_candidates: Optional[int] = None
     #: Cosine tolerance of the Super4PCS pair-direction cone filter. The
     #: reference realizes this filter as a 7^3-bin direction-grid cone
     #: rasterization (ref:accelerators/normalset.hpp:162-210); the bin
@@ -63,6 +69,10 @@ class Options:
     #: Number of random triangle draws when picking a wide base triangle
     #: (ref:match4pcsBase.h:79 kNumberOfDiameterTrials).
     n_triangle_trials: int = 1000
+    #: Per-cell candidate cap of the grid-hash congruent join (the TPU
+    #: replacement for the reference's pointer grid; overflow beyond the
+    #: cap is counted in stats["cell_dropped"]).
+    cell_candidates: int = 16
 
     def configure_overlap(self, overlap: float,
                           terminate_threshold: float = 1.0) -> "Options":

@@ -9,16 +9,17 @@ import jax.numpy as jnp
 from super4pcs_tpu.ops import congruent
 
 
-def oracle_quads(pos, pairs1, pairs2, inv1, inv2, thr2_squared_quirk):
-    """Literal re-derivation of ref:4pcs.cc:62-109: invariant points of
-    pairs1 range-joined against invariant points of pairs2, with the
-    reference's squared-vs-raw threshold quirk."""
+def oracle_quads(pos, pairs1, pairs2, inv1, inv2, radius):
+    """Brute-force re-derivation of ref:4pcs.cc:62-109 with the
+    *corrected* threshold contract (squared distance vs squared radius;
+    see ops/congruent.py module docstring for the deliberate divergence
+    from the reference's squared-vs-raw quirk)."""
     out = set()
     for k1, (a, b) in enumerate(pairs1):
         e1 = pos[a] + inv1 * (pos[b] - pos[a])
         for k2, (c, d) in enumerate(pairs2):
             e2 = pos[c] + inv2 * (pos[d] - pos[c])
-            if ((e1 - e2) ** 2).sum() <= thr2_squared_quirk:
+            if ((e1 - e2) ** 2).sum() <= radius * radius:
                 out.add((a, b, c, d))
     return out
 
@@ -35,7 +36,7 @@ def test_matches_oracle_4pcs_mode(rng):
     pairs1 = make_pairs(rng, pos, 50)
     pairs2 = make_pairs(rng, pos, 50)
     inv1, inv2 = 0.37, 0.61
-    thr = 0.05
+    thr = 0.22
 
     quads, valid, count = congruent.find_congruent_quads(
         jnp.asarray(pos),
@@ -54,7 +55,7 @@ def test_super4pcs_subset_of_4pcs(rng):
     pairs1 = make_pairs(rng, pos, 60)
     pairs2 = make_pairs(rng, pos, 60)
     inv1, inv2 = 0.5, 0.5
-    thr = 0.1
+    thr = 0.32
     args = (jnp.asarray(pos),
             jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
             jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
@@ -86,3 +87,40 @@ def test_invalid_pairs_excluded(rng):
         0.5, 0.5, 100.0, 0.0, -1.0, capacity=64)
     assert int(count) == 0
     assert not bool(valid.any())
+
+
+def test_grid_join_matches_dense(rng):
+    """The sorted-hash grid join must reproduce the dense join exactly
+    (the reference's own fast-vs-oracle testing pattern, SURVEY.md §4),
+    up to per-cell cap overflow (none at these sizes)."""
+    pos = rng.uniform(-1, 1, size=(120, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 300)
+    pairs2 = make_pairs(rng, pos, 300)
+    inv1, inv2 = 0.42, 0.58
+    for thr, cone in ((0.15, -1.0), (0.15, 0.3), (0.4, 0.5)):
+        args = (jnp.asarray(pos),
+                jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+                jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+                inv1, inv2, thr, 0.25, cone)
+        qd, vd, cd = congruent.find_congruent_quads(*args, capacity=16384)
+        qg, vg, cg, dropped = congruent.find_congruent_quads_grid(
+            *args, capacity=16384, cell_candidates=64)
+        dense = {tuple(x) for x, v in zip(np.asarray(qd), np.asarray(vd))
+                 if v}
+        grid = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg))
+                if v}
+        assert int(dropped) == 0
+        assert grid == dense, (len(grid), len(dense))
+
+
+def test_grid_join_cell_overflow_counted(rng):
+    """Saturating the per-cell cap must be visible in the dropped
+    counter, never a silent miss."""
+    # all invariant points collapse to one cell
+    pos = np.zeros((64, 3), np.float32)
+    pairs = np.stack([np.arange(32), np.arange(32) + 32], 1).astype(np.int32)
+    q, v, c, dropped = congruent.find_congruent_quads_grid(
+        jnp.asarray(pos), jnp.asarray(pairs), jnp.ones(32, bool),
+        jnp.asarray(pairs), jnp.ones(32, bool),
+        0.5, 0.5, 0.1, 0.0, -1.0, capacity=4096, cell_candidates=4)
+    assert int(dropped) > 0

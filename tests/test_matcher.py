@@ -58,7 +58,7 @@ def rot_tr_diff(got, expected):
     return rot_diff, tr_diff
 
 
-def run_registration(matcher_cls, rng, make_transform, n=400,
+def run_registration(matcher_cls, rng, make_transform, n=300,
                      delta=0.05, overlap=0.9):
     pos = bumpy_cloud(rng, n)
     mat = make_transform(max_translation=0.5)
@@ -67,8 +67,11 @@ def run_registration(matcher_cls, rng, make_transform, n=400,
     # must recover mat
     q_pos = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
 
-    opts = Options(delta=delta, sample_size=200, max_time_seconds=30,
-                   bases_per_step=8, max_quads=256,
+    # sample_size = n keeps both whole clouds: every base point has an
+    # exact counterpart, so a correct pipeline must reach LCP ~ 1.
+    # Capacities are set small-but-sufficient to keep CPU CI fast.
+    opts = Options(delta=delta, sample_size=n, max_time_seconds=30,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
                    random_seed=7).configure_overlap(overlap)
     matcher = matcher_cls(opts)
     res = matcher.compute_transformation(
@@ -97,7 +100,7 @@ def test_register_api(rng, make_transform):
     mat = make_transform(max_translation=0.3)
     inv = np.linalg.inv(mat)
     q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
-    res = register(pos, q, overlap=0.9, delta=0.05, sample_size=150,
+    res = register(pos, q, overlap=0.9, delta=0.05, sample_size=300,
                    max_time_seconds=30)
     assert res.score > 0.7
     assert res.transformed_q is not None
