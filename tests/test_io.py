@@ -1,0 +1,105 @@
+"""IO round-trip and format tests (the rebuild analog of the reference's
+file-format contract, ref:doc/File-formats.md, ref:src/super4pcs/io/)."""
+
+import numpy as np
+import pytest
+
+from super4pcs_tpu.cloud import PointCloud
+from super4pcs_tpu.io import (read_object, write_object, read_ply,
+                              write_ply, read_obj, write_obj, read_ptx,
+                              write_matrix, format_polyworks_matrix, Mesh)
+
+
+def cloud(rng, n=50, normals=True, colors=False):
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    nrm = None
+    if normals:
+        nrm = rng.normal(size=(n, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rgb = None
+    if colors:
+        rgb = rng.integers(0, 256, (n, 3)).astype(np.float32)
+    return PointCloud(pos=pos, normal=nrm, rgb=rgb)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    c = cloud(rng, colors=True)
+    path = str(tmp_path / "c.ply")
+    write_ply(path, c)
+    back = read_ply(path)
+    np.testing.assert_allclose(back.pos, c.pos, atol=1e-6)
+    np.testing.assert_allclose(back.normal, c.normal, atol=1e-6)
+    np.testing.assert_allclose(back.rgb, c.rgb, atol=1.0)
+
+
+def test_obj_roundtrip_with_faces(tmp_path, rng):
+    c = cloud(rng, n=12)
+    tris = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+    mesh = Mesh(tris=tris, tri_norm=tris)
+    path = str(tmp_path / "m.obj")
+    write_obj(path, c, mesh)
+    back_c, back_m = read_obj(path)
+    np.testing.assert_allclose(back_c.pos, c.pos, atol=1e-5)
+    np.testing.assert_array_equal(back_m.tris, tris)
+    # face-bound normals transfer onto the referenced vertices
+    assert back_c.normal is not None
+    np.testing.assert_allclose(back_c.normal[tris.reshape(-1)],
+                               c.normal[tris.reshape(-1)], atol=1e-5)
+
+
+def test_obj_no_faces_one_to_one_normals(tmp_path, rng):
+    """Vertex/normal 1:1 binding without faces (ref:io.cc:201-205)."""
+    c = cloud(rng, n=8)
+    path = str(tmp_path / "nf.obj")
+    write_obj(path, c, None)
+    back, _ = read_obj(path)
+    np.testing.assert_allclose(back.normal, c.normal, atol=1e-5)
+
+
+def test_ptx_read(tmp_path, rng):
+    pos = rng.uniform(-1, 1, (6, 3))
+    lines = ["3", "2"] + ["0 0 0"] * 8
+    for p in pos:
+        lines.append(f"{p[0]} {p[1]} {p[2]} 0.5 10 20 30")
+    path = tmp_path / "scan.ptx"
+    path.write_text("\n".join(lines) + "\n")
+    c = read_ptx(str(path))
+    assert len(c) == 6
+    np.testing.assert_allclose(c.pos, pos, atol=1e-5)
+    np.testing.assert_allclose(c.rgb[0], [10, 20, 30])
+
+
+def test_ptx_truncated_fails(tmp_path):
+    path = tmp_path / "bad.ptx"
+    path.write_text("\n".join(["2", "2"] + ["0 0 0"] * 8
+                              + ["1 2 3 0.5"]) + "\n")
+    with pytest.raises(ValueError):
+        read_ptx(str(path))
+
+
+def test_write_object_dispatch(tmp_path, rng):
+    """Clouds go to .ply, meshes to .obj regardless of requested
+    extension (ref:io.cc:273-302)."""
+    c = cloud(rng)
+    out = write_object(str(tmp_path / "thing.xyz"), c, None)
+    assert out.endswith(".ply")
+    mesh = Mesh(tris=np.array([[0, 1, 2]], np.int32))
+    out = write_object(str(tmp_path / "thing2.xyz"), c, mesh)
+    assert out.endswith(".obj")
+
+
+def test_unsupported_extension(tmp_path):
+    with pytest.raises(ValueError):
+        read_object(str(tmp_path / "x.stl"))
+
+
+def test_polyworks_format():
+    mat = np.eye(4)
+    mat[0, 3] = -2.5
+    text = format_polyworks_matrix(mat)
+    lines = text.splitlines()
+    assert lines[0] == "VERSION\t=\t1"
+    assert lines[1] == "MATRIX\t="
+    assert lines[2].split()[-1] == "-2.500000"
+    # positives carry the leading-space padding
+    assert lines[2].startswith(" 1.000000")
