@@ -65,16 +65,164 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def build_step(opts: Options, nq: int, cone_tol: float):
+    """Build the jittable RANSAC device step.
+
+    A module-level builder so the same program serves three execution
+    shapes: single-device jit, bases-axis shard_map (parallel/sharded),
+    and pairs-axis vmap for batched scan-graph registration
+    (parallel/batch). The step signature is
+
+        step(keys (B,), diam (), p_pos, p_norm, p_rgb,
+             q_pos, q_norm, q_rgb) -> dict
+
+    ``diam`` (the max base diameter, ref:hpp:172) is a traced argument
+    rather than a closure constant so a pairs-axis vmap can carry one
+    per registration pair.
+
+    Returns (step, (k_pairs, k_quads, n_cands)).
+    """
+    # Capacity defaults. The reference keeps *all* pairs and scores
+    # *every* congruent quad (ref:hpp:390-393); undersized buffers
+    # silently drop true candidates, so defaults err generous —
+    # pair counts scale ~ nq^2 * shell fraction, quad counts with the
+    # invariant-point collision rate (both observed ~5-10 * nq at
+    # reference operating points).
+    k_pairs = opts.max_pairs or _round_up(
+        min(nq * nq, max(16 * nq, 512)), 128)
+    k_quads = _round_up(
+        opts.max_quads or min(max(8 * nq, 512), 8192), 128)
+    n_cands = min(opts.max_candidates or opts.bases_per_step * k_quads,
+                  opts.bases_per_step * k_quads)
+
+    cfg = PairFilterConfig(
+        max_normal_difference=opts.max_normal_difference,
+        max_color_distance=opts.max_color_distance,
+        max_translation_distance=opts.max_translation_distance,
+        max_angle=opts.max_angle,
+    )
+    eps_pairs = DISTANCE_FACTOR * opts.delta       # ref:hpp:328-331
+    # Join radius: squared-vs-squared contract — deliberate divergence
+    # from the reference's squared-vs-raw quirk (see ops/congruent.py
+    # module docstring).
+    dist_thr = DISTANCE_FACTOR * opts.delta        # ref:hpp:340-347
+    max_angle_rad = (opts.max_angle * math.pi / 180.0
+                     if opts.max_angle >= 0 else -1.0)
+    rms_gate = DISTANCE_FACTOR * opts.delta        # ref:hpp:439
+    n_tri = opts.n_triangle_trials
+    b_per_step = opts.bases_per_step
+    delta = opts.delta
+
+    def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
+        ids, inv1, inv2, bvalid = select.select_base(
+            key, p_pos, diam, n_tri)
+        base_pos = p_pos[ids]
+        base_norm = p_norm[ids]
+        base_rgb = p_rgb[ids]
+
+        pairs1, v1, c1 = extract_pairs(
+            q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
+            0, 1, eps_pairs, cfg, k_pairs)
+        pairs2, v2, c2 = extract_pairs(
+            q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
+            2, 3, eps_pairs, cfg, k_pairs)
+
+        # angle between the two base segments (ref:super4pcs.cc:109-111)
+        s1 = base_pos[1] - base_pos[0]
+        s2 = base_pos[3] - base_pos[2]
+        cos_alpha = jnp.dot(
+            s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
+            s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
+
+        quads, qvalid, qcount, qdropped = \
+            congruent.find_congruent_quads_grid(
+                q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
+                dist_thr, cos_alpha, cone_tol, k_quads,
+                cell_candidates=opts.cell_candidates)
+        qvalid = qvalid & bvalid
+
+        cand = q_pos[quads]                         # (Kq, 4, 3)
+        centroid1 = base_pos[:3].mean(axis=0)       # ref:hpp:385
+        centroid2 = cand[:, :3].mean(axis=1)        # ref:hpp:415-417
+        transform, rms, tvalid = geometry.batched_rigid_fit(
+            base_pos, cand, centroid1, centroid2, max_angle_rad)
+        cvalid = qvalid & tvalid & (rms >= 0) & (rms < rms_gate)
+
+        return dict(transform=transform, cvalid=cvalid,
+                    centroid1=centroid1, centroid2=centroid2,
+                    ids=ids, quads=quads,
+                    counts=jnp.stack([c1, c2, qcount, qdropped]))
+
+    def step(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
+        """One device step over ``keys.shape[0]`` bases. Written to be
+        shardable: under shard_map each device receives a slice of the
+        keys axis and runs this same program on its shard."""
+        tb = jax.vmap(lambda k: try_base(
+            k, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb))(keys)
+
+        flat_t = tb["transform"].reshape(-1, 4, 4)
+        flat_v = tb["cvalid"].reshape(-1)
+
+        # compact the valid candidates across the whole step before
+        # the (expensive) LCP scoring — replaces the reference's
+        # per-candidate early exits with one dense batch. Capacity
+        # scales with the local (per-shard) base count.
+        b_local = keys.shape[0]
+        n_cands_local = max(128, (n_cands * b_local) // b_per_step)
+        idx, live, n_valid = masked_indices(flat_v, n_cands_local)
+        cand_t = flat_t[idx]
+        scores = lcp.lcp_scores(cand_t, q_pos, p_pos, delta)
+        scores = jnp.where(live, scores, -1.0)
+
+        best = jnp.argmax(scores)
+        flat_i = idx[best]
+        b = flat_i // k_quads
+        qi = flat_i % k_quads
+        return dict(
+            lcp=scores[best],
+            transform=cand_t[best],
+            qcentroid1=tb["centroid1"][b],
+            qcentroid2=tb["centroid2"][b, qi],
+            base_ids=tb["ids"][b],
+            congruent_ids=tb["quads"][b, qi],
+            n_congruent=n_valid,
+            pair_counts=tb["counts"],
+        )
+
+    return step, (k_pairs, k_quads, n_cands)
+
+
 class Match4PCSBase:
     """Shared driver. Subclasses fix the congruent-join mode."""
 
     #: cosine cone tolerance; subclass sets (<0 disables = 4PCS mode)
     _cone_mode = -1.0
 
-    def __init__(self, options: Options, logger: Optional[Logger] = None):
+    def __init__(self, options: Options, logger: Optional[Logger] = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'bases' axis; when
+        given, each device step shards its bases across the mesh (see
+        parallel/sharded.py). bases_per_step must divide evenly."""
         self.options = options
         self.logger = logger or Logger(LogLevel.NoLog)
         self._step_fn = None
+        self._mesh = mesh
+        if mesh is not None and options.bases_per_step % mesh.size != 0:
+            raise ValueError(
+                f"bases_per_step ({options.bases_per_step}) must be "
+                f"divisible by the mesh size ({mesh.size})")
+
+    def _step_keys(self, step_idx: int):
+        """Per-base keys for one device step, placed shard-per-device
+        over the mesh 'bases' axis when a mesh is configured."""
+        keys = jax.random.split(
+            jax.random.fold_in(self._key, step_idx),
+            self.options.bases_per_step)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            keys = jax.device_put(
+                keys, NamedSharding(self._mesh, PartitionSpec("bases")))
+        return keys
 
     # ------------------------------------------------------------------
     # public API (mirrors ComputeTransformation, ref:hpp:61-86)
@@ -210,114 +358,14 @@ class Match4PCSBase:
     def _build_step(self):
         opts = self.options
         nq = int(self._d_q_pos.shape[0])
-        # Capacity defaults. The reference keeps *all* pairs and scores
-        # *every* congruent quad (ref:hpp:390-393); undersized buffers
-        # silently drop true candidates, so defaults err generous —
-        # pair counts scale ~ nq^2 * shell fraction, quad counts with
-        # the invariant-point collision rate (both observed ~5-10 * nq
-        # at reference operating points).
-        k_pairs = opts.max_pairs or _round_up(
-            min(nq * nq, max(16 * nq, 512)), 128)
-        k_quads = _round_up(
-            opts.max_quads or min(max(8 * nq, 512), 8192), 128)
-        n_cands = min(opts.max_candidates or opts.bases_per_step * k_quads,
-                      opts.bases_per_step * k_quads)
-
-        cfg = PairFilterConfig(
-            max_normal_difference=opts.max_normal_difference,
-            max_color_distance=opts.max_color_distance,
-            max_translation_distance=opts.max_translation_distance,
-            max_angle=opts.max_angle,
-        )
-        eps_pairs = DISTANCE_FACTOR * opts.delta       # ref:hpp:328-331
-        # Join radius: squared-vs-squared contract — deliberate divergence
-        # from the reference's squared-vs-raw quirk (see ops/congruent.py
-        # module docstring).
-        dist_thr = DISTANCE_FACTOR * opts.delta        # ref:hpp:340-347
-        cone_tol = self._cone_mode
-        max_angle_rad = (opts.max_angle * math.pi / 180.0
-                         if opts.max_angle >= 0 else -1.0)
-        rms_gate = DISTANCE_FACTOR * opts.delta        # ref:hpp:439
-        n_tri = opts.n_triangle_trials
-        b_per_step = opts.bases_per_step
-        delta = opts.delta
-        max_base_diameter = self._max_base_diameter
-
-        def try_base(key, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
-            ids, inv1, inv2, bvalid = select.select_base(
-                key, p_pos, max_base_diameter, n_tri)
-            base_pos = p_pos[ids]
-            base_norm = p_norm[ids]
-            base_rgb = p_rgb[ids]
-
-            pairs1, v1, c1 = extract_pairs(
-                q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-                0, 1, eps_pairs, cfg, k_pairs)
-            pairs2, v2, c2 = extract_pairs(
-                q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-                2, 3, eps_pairs, cfg, k_pairs)
-
-            # angle between the two base segments (ref:super4pcs.cc:109-111)
-            s1 = base_pos[1] - base_pos[0]
-            s2 = base_pos[3] - base_pos[2]
-            cos_alpha = jnp.dot(
-                s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
-                s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
-
-            quads, qvalid, qcount, qdropped = \
-                congruent.find_congruent_quads_grid(
-                    q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
-                    dist_thr, cos_alpha, cone_tol, k_quads,
-                    cell_candidates=opts.cell_candidates)
-            qvalid = qvalid & bvalid
-
-            cand = q_pos[quads]                         # (Kq, 4, 3)
-            centroid1 = base_pos[:3].mean(axis=0)       # ref:hpp:385
-            centroid2 = cand[:, :3].mean(axis=1)        # ref:hpp:415-417
-            transform, rms, tvalid = geometry.batched_rigid_fit(
-                base_pos, cand, centroid1, centroid2, max_angle_rad)
-            cvalid = qvalid & tvalid & (rms >= 0) & (rms < rms_gate)
-
-            return dict(transform=transform, cvalid=cvalid,
-                        centroid1=centroid1, centroid2=centroid2,
-                        ids=ids, quads=quads,
-                        counts=jnp.stack([c1, c2, qcount, qdropped]))
-
-        def step(key, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
-            keys = jax.random.split(key, b_per_step)
-            tb = jax.vmap(lambda k: try_base(
-                k, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb))(keys)
-
-            flat_t = tb["transform"].reshape(-1, 4, 4)
-            flat_v = tb["cvalid"].reshape(-1)
-
-            # compact the valid candidates across the whole step before
-            # the (expensive) LCP scoring — replaces the reference's
-            # per-candidate early exits with one dense batch.
-            idx, live, n_valid = masked_indices(flat_v, n_cands)
-            cand_t = flat_t[idx]
-            scores = lcp.lcp_scores(cand_t, q_pos, p_pos, delta)
-            scores = jnp.where(live, scores, -1.0)
-
-            best = jnp.argmax(scores)
-            flat_i = idx[best]
-            b = flat_i // k_quads
-            qi = flat_i % k_quads
-            return dict(
-                lcp=scores[best],
-                transform=cand_t[best],
-                qcentroid1=tb["centroid1"][b],
-                qcentroid2=tb["centroid2"][b, qi],
-                base_ids=tb["ids"][b],
-                congruent_ids=tb["quads"][b, qi],
-                n_congruent=n_valid,
-                pair_counts=tb["counts"],
-            )
-
-        self._step_fn = jax.jit(step)
-        self._k_pairs = k_pairs
-        self._k_quads = k_quads
-        self._n_cands = n_cands
+        step, caps = build_step(opts, nq, self._cone_mode)
+        self._step_raw = step
+        if self._mesh is not None:
+            from .parallel import sharded_step
+            self._step_fn = sharded_step(step, self._mesh)
+        else:
+            self._step_fn = jax.jit(step)
+        self._k_pairs, self._k_quads, self._n_cands = caps
 
     # ------------------------------------------------------------------
     # host anytime loop (mirrors Perform_N_steps, ref:hpp:208-274)
@@ -334,17 +382,20 @@ class Match4PCSBase:
         # Compile before starting the anytime clock: the reference's
         # max_time budget (ref:hpp:239-244) measures search time; XLA
         # compilation is a one-time cost amortized by the jit cache.
-        args = (jax.random.fold_in(self._key, 0),
+        diam = jnp.float32(self._max_base_diameter)
+        args = (self._step_keys(0), diam,
                 self._d_p_pos, self._d_p_norm, self._d_p_rgb,
                 self._d_q_pos, self._d_q_norm, self._d_q_rgb)
+        tc = time.perf_counter()
         self._step_fn = self._step_fn.lower(*args).compile()
+        self._stats["compile_seconds"] = time.perf_counter() - tc
 
         t0 = time.perf_counter()
         step_idx = 0
         while True:
-            key = jax.random.fold_in(self._key, step_idx)
             out = self._step_fn(
-                key, self._d_p_pos, self._d_p_norm, self._d_p_rgb,
+                self._step_keys(step_idx), diam,
+                self._d_p_pos, self._d_p_norm, self._d_p_rgb,
                 self._d_q_pos, self._d_q_norm, self._d_q_rgb)
             step_lcp = float(out["lcp"])
             self._trial += b
@@ -385,6 +436,10 @@ class Match4PCSBase:
                     or self._best_lcp == 1.0):
                 break
 
+        # search time excluding the one-time compile (the reference's
+        # totalTime analog, ref:match4pcsBase.hpp:77-83)
+        self._stats["search_seconds"] = time.perf_counter() - t0
+
     # ------------------------------------------------------------------
 
     def _global_transform(self) -> np.ndarray:
@@ -424,6 +479,7 @@ class MatchSuper4PCS(Match4PCSBase):
     """Smart-indexing-mode matcher (ref:src/super4pcs/algorithms/
     super4pcs.h:56): adds the pair-direction cone filter to the join."""
 
-    def __init__(self, options: Options, logger: Optional[Logger] = None):
-        super().__init__(options, logger)
+    def __init__(self, options: Options, logger: Optional[Logger] = None,
+                 mesh=None):
+        super().__init__(options, logger, mesh=mesh)
         self._cone_mode = options.cone_cos_tolerance

@@ -1,0 +1,75 @@
+"""Bases-axis sharding of the RANSAC device step.
+
+Each device receives a shard of the per-base PRNG keys and runs the
+*same* single-device step program (matcher._build_step's ``step``) on
+its shard; the global best candidate is then selected with one
+``all_gather`` of the tiny per-device results followed by an argmax —
+a single small collective riding ICI per step. This replaces the
+reference's shared-mutable ``best_LCP_`` + ``omp critical``
+(ref:src/super4pcs/algorithms/match4pcsBase.hpp:467-484) with a
+reduction, which is both deterministic and scalable.
+
+Point clouds are replicated: at the algorithm's operating points the
+sampled clouds are a few thousand points (< 1 MB) while the per-base
+work (pair extraction, joins, LCP over tens of thousands of candidate
+transforms) dominates — replicate the small thing, shard the big axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+BASES_AXIS = "bases"
+
+
+def make_mesh(devices=None, axis: str = BASES_AXIS) -> Mesh:
+    """1-D mesh over ``devices`` (default: all local devices)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def sharded_step(step_fn, mesh: Mesh, axis: str = BASES_AXIS):
+    """Wrap a single-device step into an SPMD step over ``mesh``.
+
+    ``step_fn(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb)``
+    must
+    return the matcher step dict (lcp/transform/qcentroid1/qcentroid2/
+    base_ids/congruent_ids scalars-or-small arrays of the *best local*
+    candidate, plus n_congruent and per-base pair_counts telemetry).
+
+    Returns a jitted function with the same signature; ``keys`` is
+    sharded over ``axis``, the clouds are replicated, and the output is
+    replicated (identical on every device).
+    """
+    rep = P()
+    # (keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb)
+    in_specs = (P(axis), rep, rep, rep, rep, rep, rep, rep)
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=rep,
+             check_vma=False)
+    def spmd(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
+        local = step_fn(keys, diam, p_pos, p_norm, p_rgb,
+                        q_pos, q_norm, q_rgb)
+
+        # gather the tiny per-device results; pick the argmax device.
+        gathered = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis), local)
+        best_dev = jnp.argmax(gathered["lcp"])
+
+        out = {}
+        for name in ("lcp", "transform", "qcentroid1", "qcentroid2",
+                     "base_ids", "congruent_ids"):
+            out[name] = gathered[name][best_dev]
+        # telemetry: sum counters, concatenate per-base tables
+        out["n_congruent"] = jnp.sum(gathered["n_congruent"])
+        pc = gathered["pair_counts"]
+        out["pair_counts"] = pc.reshape((-1,) + pc.shape[2:])
+        return out
+
+    return jax.jit(spmd)
