@@ -171,7 +171,16 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         n_cands_local = max(128, (n_cands * b_local) // b_per_step)
         idx, live, n_valid = masked_indices(flat_v, n_cands_local)
         cand_t = flat_t[idx]
-        scores = lcp.lcp_scores(cand_t, q_pos, p_pos, delta)
+        if opts.verify_top_k > 0:
+            scores, sel = lcp.lcp_scores_two_stage(
+                cand_t, q_pos, p_pos, delta,
+                coarse_q=opts.coarse_q, coarse_p=opts.coarse_p,
+                top_k=opts.verify_top_k)
+            live = live[sel]
+            cand_t = cand_t[sel]
+            idx = idx[sel]
+        else:
+            scores = lcp.lcp_scores(cand_t, q_pos, p_pos, delta)
         scores = jnp.where(live, scores, -1.0)
 
         best = jnp.argmax(scores)

@@ -122,3 +122,35 @@ def lcp_score_single(transform, q_pos, p_pos, epsilon):
     """Convenience scalar form (the reference's initial
     ``Verify(identity)``, ref:match4pcsBase.hpp:201)."""
     return lcp_scores(transform[None], q_pos, p_pos, epsilon)[0]
+
+
+def lcp_scores_two_stage(transforms, q_pos, p_pos, epsilon,
+                         coarse_q: int = 64, coarse_p: int = 2048,
+                         top_k: int = 2048):
+    """Two-stage LCP: coarse rank on subsampled clouds, exact score for
+    the ``top_k`` survivors.
+
+    The batched analog of the reference Verify's early exit (it aborts a
+    candidate once it provably can't beat ``best_LCP_``,
+    ref:match4pcsBase.cc:520-558): almost all congruent candidates are
+    garbage, so they are ranked with a ~20x cheaper subsampled LCP and
+    only the best ``top_k`` get the full O(|Q||P|) scoring. With
+    coarse_q >= 48 the subsample noise (~sqrt(l(1-l)/coarse_q) ~ 0.07)
+    is far below the true-vs-garbage gap, so the argmax is preserved
+    with overwhelming probability.
+
+    Returns (scores, scored_idx): exact scores (top_k,) and their
+    indices into ``transforms``; non-selected candidates are not scored.
+    """
+    c = transforms.shape[0]
+    if c <= top_k:
+        return lcp_scores(transforms, q_pos, p_pos, epsilon), \
+            jnp.arange(c, dtype=jnp.int32)
+
+    sq = max(1, -(-q_pos.shape[0] // coarse_q))
+    sp = max(1, -(-p_pos.shape[0] // coarse_p))
+    coarse = lcp_scores(transforms, q_pos[::sq], p_pos[::sp], epsilon)
+    _, idx = jax.lax.top_k(coarse, top_k)
+    idx = idx.astype(jnp.int32)
+    exact = lcp_scores(transforms[idx], q_pos, p_pos, epsilon)
+    return exact, idx

@@ -73,6 +73,14 @@ class Options:
     #: replacement for the reference's pointer grid; overflow beyond the
     #: cap is counted in stats["cell_dropped"]).
     cell_candidates: int = 16
+    #: Two-stage LCP verification (the batched analog of the reference
+    #: Verify's early exit, ref:match4pcsBase.cc:520-558): rank all
+    #: candidates on subsampled clouds, exact-score only the top
+    #: ``verify_top_k``. 0 disables the coarse stage.
+    verify_top_k: int = 2048
+    #: Q / P subsample targets of the coarse ranking stage.
+    coarse_q: int = 64
+    coarse_p: int = 2048
 
     def configure_overlap(self, overlap: float,
                           terminate_threshold: float = 1.0) -> "Options":

@@ -50,3 +50,29 @@ def test_perfect_alignment_scores_one(rng, make_transform):
     score = lcp.lcp_scores(jnp.asarray(mat)[None], jnp.asarray(q),
                            jnp.asarray(p), 1e-3)
     assert float(score[0]) == 1.0
+
+
+def test_two_stage_matches_full(rng):
+    """The two-stage verify must select the same best candidate as full
+    scoring whenever a clearly-good candidate exists."""
+    from super4pcs_tpu.ops.lcp import lcp_scores, lcp_scores_two_stage
+    p = rng.uniform(-1, 1, size=(800, 3)).astype(np.float32)
+    q = p[rng.permutation(800)[:300]]
+    # candidate 0: identity (the true match); rest: random junk
+    mats = [np.eye(4, dtype=np.float32)]
+    for _ in range(511):
+        a = rng.normal(size=(3, 3)).astype(np.float32)
+        qq, _ = np.linalg.qr(a)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = qq
+        m[:3, 3] = rng.uniform(-1, 1, 3)
+        mats.append(m)
+    mats = jnp.asarray(np.stack(mats))
+    qd, pd = jnp.asarray(q), jnp.asarray(p)
+    full = lcp_scores(mats, qd, pd, 0.02)
+    two, sel = lcp_scores_two_stage(mats, qd, pd, 0.02,
+                                    coarse_q=48, coarse_p=256, top_k=64)
+    best_full = int(jnp.argmax(full))
+    best_two = int(sel[jnp.argmax(two)])
+    assert best_full == best_two == 0
+    assert abs(float(full[0]) - float(jnp.max(two))) < 1e-6
