@@ -50,6 +50,22 @@ _K_MIN_TRIALS = 4             # ref:hpp:102
 _K_DIAMETER_FRACTION = 0.3    # ref:hpp:103
 
 
+def _enable_compilation_cache():
+    """Persist XLA executables across processes (~100 s of compiles per
+    cold run otherwise). Respects an existing user setting."""
+    import os
+    if jax.config.jax_compilation_cache_dir is None:
+        default = os.path.join(
+            os.path.expanduser("~"), ".cache", "super4pcs_tpu", "xla")
+        try:
+            os.makedirs(default, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", default)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except (OSError, AttributeError):
+            pass
+
+
 @dataclasses.dataclass
 class RegistrationResult:
     """Outcome of one registration run."""
@@ -284,6 +300,7 @@ class Match4PCSBase:
     # ------------------------------------------------------------------
 
     def _init(self, P: PointCloud, Q: PointCloud):
+        _enable_compilation_cache()
         opts = self.options
         rng = np.random.default_rng(opts.random_seed)
         self._q_original = Q

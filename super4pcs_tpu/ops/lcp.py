@@ -46,8 +46,13 @@ def _pad_rows(x, multiple, value):
 
 
 def lcp_scores(transforms, q_pos, p_pos, epsilon,
-               p_block: int = 2048, elem_budget: int = 32 * 1024 * 1024):
+               p_block: int = 2048, elem_budget: int = 32 * 1024 * 1024,
+               use_pallas: bool = True):
     """LCP fraction for each candidate transform.
+
+    On TPU backends dispatches to the fused Pallas VPU kernel
+    (kernels/lcp_pallas.py, ~6x faster); the XLA expansion path below is
+    the exact-parity oracle and the CPU path.
 
     Args:
       transforms: (C, 4, 4) rigid transforms (centered-Q -> centered-P).
@@ -60,6 +65,12 @@ def lcp_scores(transforms, q_pos, p_pos, epsilon,
     Returns:
       (C,) float32 LCP fractions in [0, 1].
     """
+    if use_pallas:
+        from ..kernels import lcp_pallas
+        if lcp_pallas.supported(int(p_pos.shape[0])):
+            return lcp_pallas.lcp_scores_pallas(
+                transforms, q_pos, p_pos, epsilon)
+
     c = transforms.shape[0]
     nq = q_pos.shape[0]
 

@@ -1,6 +1,8 @@
 """LCP scorer vs a direct nearest-neighbor oracle (the role of the
 reference's kd-tree Verify, ref:match4pcsBase.cc:504-567)."""
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -76,3 +78,20 @@ def test_two_stage_matches_full(rng):
     best_two = int(sel[jnp.argmax(two)])
     assert best_full == best_two == 0
     assert abs(float(full[0]) - float(jnp.max(two))) < 1e-6
+
+
+def test_pallas_kernel_parity_interpreted(rng):
+    """The Pallas kernel math, run in interpreter mode on CPU, matches
+    the XLA oracle exactly."""
+    from super4pcs_tpu.kernels import lcp_pallas
+    import jax
+    from unittest import mock
+    p = rng.uniform(-1, 1, (700, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (90, 3)).astype(np.float32)
+    tq = jnp.asarray(q)
+    with mock.patch.object(lcp_pallas.pl, "pallas_call",
+                           functools.partial(lcp_pallas.pl.pallas_call,
+                                             interpret=True)):
+        d2 = lcp_pallas.min_sq_dists(tq, jnp.asarray(p))
+    ref = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1).min(1)
+    np.testing.assert_allclose(np.asarray(d2), ref, rtol=0, atol=1e-7)
