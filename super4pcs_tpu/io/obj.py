@@ -45,8 +45,8 @@ def _split_face_token(tok: str):
     return a, t, n
 
 
-def read_obj(path: str):
-    """Read an OBJ file; returns (PointCloud, Mesh)."""
+def _read_obj_python(path: str):
+    """Pure-python fallback row parser."""
     v_rows, vn_rows, vt_rows = [], [], []
     f_rows = []
     mtls: List[str] = []
@@ -76,19 +76,36 @@ def read_obj(path: str):
     vt = (np.asarray([r[:2] for r in vt_rows], dtype=np.float32)
           if vt_rows else None)
 
-    tris = np.zeros((len(f_rows), 3), np.int32)
-    tri_tex = np.zeros((len(f_rows), 3), np.int32)
-    tri_norm = np.zeros((len(f_rows), 3), np.int32)
+    faces = np.zeros((len(f_rows), 3, 3), np.int32)
     for i, row in enumerate(f_rows):
         for j in range(3):
-            a, t, n = _split_face_token(row[j])
-            tris[i, j] = a
-            tri_tex[i, j] = t
-            tri_norm[i, j] = n
+            faces[i, j] = _split_face_token(row[j])
+    return pos, vn, vt, faces, mtls
+
+
+def read_obj(path: str):
+    """Read an OBJ file; returns (PointCloud, Mesh).
+
+    Uses the native C++ parser (io/native.py) when available; identical
+    semantics through the numpy fallback otherwise."""
+    from .native import native_parse_obj
+    parsed = native_parse_obj(path)
+    if parsed is not None:
+        pos, vn, vt, faces, mtls = parsed
+        if pos is None:
+            raise ValueError(f"(OBJ) no vertices in {path}")
+        if faces is None:
+            faces = np.zeros((0, 3, 3), np.int32)
+    else:
+        pos, vn, vt, faces, mtls = _read_obj_python(path)
+
+    tris = faces[:, :, 0]
+    tri_tex = faces[:, :, 1]
+    tri_norm = faces[:, :, 2]
 
     normal = None
     if vn is not None:
-        if len(f_rows) == 0:
+        if len(faces) == 0:
             # no faces: 1:1 normals when counts line up (ref:io.cc:201-205)
             if len(vn) == len(pos):
                 normal = vn

@@ -60,6 +60,13 @@ def _parse_header(f):
 
 
 def read_ply(path: str) -> PointCloud:
+    # native C++ fast path (io/native.py); numpy fallback below is the
+    # reference implementation of the same contract
+    from .native import native_parse_ply
+    parsed = native_parse_ply(path)
+    if parsed is not None:
+        pos, nrm, rgb = parsed
+        return PointCloud(pos=pos, normal=nrm, rgb=rgb)
     with open(path, "rb") as f:
         fmt, n, props, header_size = _parse_header(f)
 

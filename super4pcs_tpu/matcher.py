@@ -255,8 +255,16 @@ class Match4PCSBase:
 
     def compute_transformation(
         self, P: PointCloud, Q: PointCloud,
-        visitor=None,
+        visitor=None, resume_state: Optional[dict] = None,
     ) -> RegistrationResult:
+        """Run (or resume) the registration.
+
+        ``resume_state``: a dict previously returned by
+        :meth:`export_state` — the search continues from its trial
+        counter and best-so-far, the TPU-native form of the reference's
+        ``current_trial_`` resume design (ref:match4pcsBase.hpp:236-258,
+        h:131-161). Enables preemptible-TPU checkpoint/resume.
+        """
         visitor = visitor or DummyTransformVisitor()
         if len(P) == 0 or len(Q) == 0:
             # degenerate inputs return kLargeNumber, not an exception
@@ -266,6 +274,8 @@ class Match4PCSBase:
                 transformed_q=None, n_trials=0, improved=False, stats={})
 
         self._init(P, Q)
+        if resume_state is not None:
+            self._import_state(resume_state)
         if self._best_lcp != 1.0:
             self._perform_steps(visitor)
 
@@ -417,7 +427,7 @@ class Match4PCSBase:
         self._stats["compile_seconds"] = time.perf_counter() - tc
 
         t0 = time.perf_counter()
-        step_idx = 0
+        step_idx = self._trial // b   # continue the PRNG stream on resume
         while True:
             out = self._step_fn(
                 self._step_keys(step_idx), diam,
@@ -487,12 +497,28 @@ class Match4PCSBase:
         return {
             "trial": self._trial,
             "best_lcp": self._best_lcp,
+            "initial_lcp": self._initial_lcp,
             "transform": self._transform.tolist(),
             "qcentroid1": self._qcentroid1.tolist(),
             "qcentroid2": self._qcentroid2.tolist(),
             "base_ids": self._base_ids.tolist(),
             "congruent_ids": self._congruent_ids.tolist(),
         }
+
+    def _import_state(self, state: dict):
+        """Restore a checkpoint written by :meth:`export_state`. The
+        trial counter also resumes the per-step PRNG stream, so a
+        resumed run explores the trials an uninterrupted run would
+        have."""
+        self._trial = int(state["trial"])
+        self._best_lcp = float(state["best_lcp"])
+        self._initial_lcp = float(state.get("initial_lcp",
+                                            self._initial_lcp))
+        self._transform = np.asarray(state["transform"], np.float32)
+        self._qcentroid1 = np.asarray(state["qcentroid1"], np.float32)
+        self._qcentroid2 = np.asarray(state["qcentroid2"], np.float32)
+        self._base_ids = np.asarray(state["base_ids"], np.int32)
+        self._congruent_ids = np.asarray(state["congruent_ids"], np.int32)
 
 
 class Match4PCS(Match4PCSBase):

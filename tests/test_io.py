@@ -103,3 +103,40 @@ def test_polyworks_format():
     assert lines[2].split()[-1] == "-2.500000"
     # positives carry the leading-space padding
     assert lines[2].startswith(" 1.000000")
+
+
+def test_native_parser_parity(tmp_path, rng):
+    """The C++ parser and the numpy parser must produce identical
+    clouds/meshes (skipped when no toolchain can build the library)."""
+    import super4pcs_tpu.io.native as native_mod
+    from super4pcs_tpu.io import obj as obj_mod
+    from super4pcs_tpu.io import ply as ply_mod
+    if native_mod.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    c = cloud(rng, n=40, colors=True)
+    tris = np.array([[0, 1, 2], [5, 6, 7]], np.int32)
+    mesh = Mesh(tris=tris, tri_norm=tris)
+    obj_path = str(tmp_path / "m.obj")
+    write_obj(obj_path, c, mesh)
+    ply_path = str(tmp_path / "c.ply")
+    write_ply(ply_path, c)
+
+    c_native, m_native = obj_mod.read_obj(obj_path)
+    p_native = ply_mod.read_ply(ply_path)
+
+    import os
+    os.environ["SUPER4PCS_TPU_NO_NATIVE"] = "1"
+    native_mod._LIB, native_mod._TRIED = None, False
+    try:
+        c_py, m_py = obj_mod.read_obj(obj_path)
+        p_py = ply_mod.read_ply(ply_path)
+    finally:
+        del os.environ["SUPER4PCS_TPU_NO_NATIVE"]
+        native_mod._LIB, native_mod._TRIED = None, False
+
+    np.testing.assert_allclose(c_native.pos, c_py.pos)
+    np.testing.assert_allclose(c_native.normal, c_py.normal)
+    np.testing.assert_array_equal(m_native.tris, m_py.tris)
+    np.testing.assert_allclose(p_native.pos, p_py.pos)
+    np.testing.assert_allclose(p_native.rgb, p_py.rgb)

@@ -165,3 +165,37 @@ def test_state_export(rng, make_transform):
     assert state["trial"] > 0
     assert 0.0 <= state["best_lcp"] <= 1.0
     assert np.asarray(state["transform"]).shape == (4, 4)
+
+
+def test_checkpoint_resume(rng, make_transform):
+    """A run interrupted after one step and resumed from its exported
+    state must match an uninterrupted run with the same seed (the
+    reference's current_trial_ resume design, ref:hpp:236-258)."""
+    pos = bumpy_cloud(rng, 200)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    P, Q = PointCloud(pos=pos), PointCloud(pos=q)
+    opts = Options(delta=0.05, sample_size=200, max_time_seconds=60,
+                   bases_per_step=4, max_quads=512, max_candidates=1024,
+                   random_seed=9).configure_overlap(0.6, 0.999)
+
+    # uninterrupted run
+    full = MatchSuper4PCS(opts).compute_transformation(P, Q)
+
+    # interrupted: stop after ~1 step by shrinking the trial budget
+    m1 = MatchSuper4PCS(opts)
+    m1._init(P, Q)
+    m1.number_of_trials = 4
+    m1._perform_steps(__import__(
+        "super4pcs_tpu.visitor", fromlist=["DummyTransformVisitor"]
+    ).DummyTransformVisitor())
+    state = m1.export_state()
+    assert state["trial"] >= 4
+
+    # resume and finish
+    resumed = MatchSuper4PCS(opts).compute_transformation(
+        P, Q, resume_state=state)
+    assert resumed.n_trials >= full.n_trials
+    # the resumed search must reach the same quality
+    assert abs(resumed.score - full.score) < 0.05
