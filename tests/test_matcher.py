@@ -199,3 +199,51 @@ def test_checkpoint_resume(rng, make_transform):
     assert resumed.n_trials >= full.n_trials
     # the resumed search must reach the same quality
     assert abs(resumed.score - full.score) < 0.05
+
+
+def test_part_in_whole_low_overlap(rng, make_transform):
+    """BASELINE.md config 4 (ref:doc/Usage-Part-in-Whole.md): register a
+    *part* (target P) against a transformed *whole* (source Q) with a
+    low overlap estimate — every base drawn from the part must find its
+    congruent counterpart inside the whole."""
+    whole = bumpy_cloud(rng, 400)
+    part = whole[whole[:, 0] > 0.15]          # spatial chunk of the whole
+    assert 80 < len(part) < 300
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q = (whole @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+
+    frac = len(part) / len(whole)
+    opts = Options(delta=0.05, sample_size=400, max_time_seconds=60,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
+                   random_seed=13).configure_overlap(
+                       0.8 * frac, terminate_threshold=0.95 * frac)
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=part.copy()), PointCloud(pos=q))
+    # LCP is over Q (the whole): perfect alignment scores ~ part fraction
+    assert res.score > 0.7 * frac, (res.score, frac)
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1, (rot_diff, tr_diff)
+
+
+def test_filtered_registration_normals_colors(rng, make_transform):
+    """BASELINE.md config 3: registration with the normal-difference and
+    color-distance pair filters active (ref:4pcs.cc:145-171 semantics)."""
+    pos = bumpy_cloud(rng, 250)
+    normal = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+    rgb = (np.abs(pos) * 200).astype(np.float32)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    qn = (normal @ inv[:3, :3].T).astype(np.float32)
+
+    opts = Options(delta=0.05, sample_size=250, max_time_seconds=30,
+                   bases_per_step=8, max_quads=1024, max_candidates=2048,
+                   max_normal_difference=20.0, max_color_distance=60.0,
+                   random_seed=17).configure_overlap(0.9)
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos, normal=normal, rgb=rgb),
+        PointCloud(pos=q, normal=qn, rgb=rgb))
+    assert res.score > 0.8, res.score
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1
