@@ -61,7 +61,7 @@ def _enable_compilation_cache():
             os.makedirs(default, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", default)
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
+                              0.2)
         except (OSError, AttributeError):
             pass
 
@@ -379,9 +379,12 @@ class Match4PCSBase:
 
         self._build_step()
 
-        # initial verification of the identity transform (ref:hpp:201)
-        self._best_lcp = float(lcp.lcp_score_single(
-            jnp.eye(4, dtype=f32), self._d_q_pos, self._d_p_pos, opts.delta))
+        # initial verification of the identity transform (ref:hpp:201).
+        # Jitted so the (pallas) LCP program lands in the persistent
+        # compilation cache instead of recompiling eagerly every run.
+        self._best_lcp = float(jax.jit(lcp.lcp_score_single)(
+            jnp.eye(4, dtype=f32), self._d_q_pos, self._d_p_pos,
+            jnp.float32(opts.delta)))
         self._initial_lcp = self._best_lcp
         self.logger.verbose("Initial LCP: ", self._best_lcp)
 
