@@ -33,6 +33,7 @@ def register(
     max_time_seconds: Optional[int] = None,
     algorithm: str = "super4pcs",
     visitor=None,
+    mesh=None,
 ) -> RegistrationResult:
     """Globally register ``source`` onto ``target``.
 
@@ -49,6 +50,8 @@ def register(
       sample_size: working sample count (reference ``-n``).
       max_time_seconds: anytime budget (reference ``-t``).
       algorithm: "super4pcs" (smart indexing) or "4pcs" (quadratic).
+      mesh: optional jax.sharding.Mesh with a "bases" axis — shards each
+        device step's RANSAC trials across the mesh (parallel/sharded).
     """
     opts = options or Options()
     if overlap is not None:
@@ -69,9 +72,9 @@ def register(
                         normal=source_normal, rgb=source_rgb)
 
     if algorithm == "super4pcs":
-        matcher = MatchSuper4PCS(opts)
+        matcher = MatchSuper4PCS(opts, mesh=mesh)
     elif algorithm == "4pcs":
-        matcher = Match4PCS(opts)
+        matcher = Match4PCS(opts, mesh=mesh)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}; "
                          "expected 'super4pcs' or '4pcs'")

@@ -247,3 +247,18 @@ def test_filtered_registration_normals_colors(rng, make_transform):
     assert res.score > 0.8, res.score
     rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
     assert rot_diff <= 0.2 and tr_diff <= 0.1
+
+
+def test_register_api_mesh(rng, make_transform):
+    """register(mesh=...) shards the bases axis (runs on the virtual
+    8-device CPU mesh)."""
+    from super4pcs_tpu.parallel import make_mesh
+    pos = bumpy_cloud(rng, 150)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    res = register(pos, q, overlap=0.9, delta=0.05, sample_size=150,
+                   max_time_seconds=30, mesh=make_mesh(),
+                   options=Options(bases_per_step=8, max_quads=512,
+                                   max_candidates=1024))
+    assert res.score > 0.8
