@@ -116,6 +116,7 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         max_color_distance=opts.max_color_distance,
         max_translation_distance=opts.max_translation_distance,
         max_angle=opts.max_angle,
+        use_distance_filter=not opts.estimate_scale,
     )
     eps_pairs = DISTANCE_FACTOR * opts.delta       # ref:hpp:328-331
     # Join radius: squared-vs-squared contract — deliberate divergence
@@ -161,7 +162,8 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         centroid1 = base_pos[:3].mean(axis=0)       # ref:hpp:385
         centroid2 = cand[:, :3].mean(axis=1)        # ref:hpp:415-417
         transform, rms, tvalid = geometry.batched_rigid_fit(
-            base_pos, cand, centroid1, centroid2, max_angle_rad)
+            base_pos, cand, centroid1, centroid2, max_angle_rad,
+            estimate_scale=opts.estimate_scale)
         cvalid = qvalid & tvalid & (rms >= 0) & (rms < rms_gate)
 
         return dict(transform=transform, cvalid=cvalid,

@@ -131,7 +131,7 @@ def try_quadrilateral(quad_pos: jnp.ndarray):
 
 
 def batched_rigid_fit(ref_quad, cand_quads, centroid1, centroid2,
-                      max_angle_rad):
+                      max_angle_rad, estimate_scale: bool = False):
     """Fit rigid transforms aligning each candidate quad onto the base.
 
     Batched form of ``ComputeRigidTransformation``
@@ -152,6 +152,23 @@ def batched_rigid_fit(ref_quad, cand_quads, centroid1, centroid2,
       rms = kLargeNumber.
     """
     eps = 1e-6  # kSmallNumber, ref:cc:377
+
+    scale = jnp.ones(cand_quads.shape[0], dtype=cand_quads.dtype)
+    scale_ok = jnp.ones(cand_quads.shape[0], dtype=bool)
+    if estimate_scale:
+        # similarity mode (the reference MULTISCALE path,
+        # ref:cc:390-414): scale from the two segment-length ratios,
+        # rejected when they deviate > 10% from each other
+        def seg_len(a, b):
+            return jnp.linalg.norm(a - b, axis=-1)
+        r1 = seg_len(ref_quad[1], ref_quad[0]) / jnp.maximum(
+            seg_len(cand_quads[:, 1], cand_quads[:, 0]), 1e-30)
+        r2 = seg_len(ref_quad[3], ref_quad[2]) / jnp.maximum(
+            seg_len(cand_quads[:, 3], cand_quads[:, 2]), 1e-30)
+        scale_ok = jnp.abs(r1 / jnp.maximum(r2, 1e-30) - 1.0) <= 0.1
+        scale = 0.5 * (r1 + r2)
+        cand_quads = cand_quads * scale[:, None, None]
+        centroid2 = centroid2 * scale[:, None]
 
     def frame(p0, p1, p2):
         # NB: exact 1/sqrt, not lax.rsqrt — the approximate rsqrt's
@@ -209,7 +226,13 @@ def batched_rigid_fit(ref_quad, cand_quads, centroid1, centroid2,
                  .at[:, :3, 3].set(t)
                  .at[:, 3, 3].set(1.0))
 
-    valid = ok_p & ok_q & ortho_ok & angle_ok
+    if estimate_scale:
+        # linear part becomes scale * R; translation already uses the
+        # scaled centroid (transform = T(c1) R S T(-c2), ref:cc:491-497)
+        transform = transform.at[:, :3, :3].multiply(
+            scale[:, None, None])
+
+    valid = ok_p & ok_q & ortho_ok & angle_ok & scale_ok
     rms = jnp.where(valid, rms, K_LARGE_NUMBER)
     return transform, rms, valid
 

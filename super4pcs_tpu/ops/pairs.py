@@ -44,6 +44,9 @@ class PairFilterConfig:
     max_color_distance: float = -1.0
     max_translation_distance: float = -1.0
     max_angle: float = -1.0
+    #: disable the distance band (the reference MULTISCALE mode,
+    #: ref:4pcs.cc:141-143 — with unknown scale no distance can filter)
+    use_distance_filter: bool = True
 
 
 def pair_emit_masks(
@@ -66,7 +69,11 @@ def pair_emit_masks(
     dist = jnp.linalg.norm(diff, axis=-1)
 
     upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1).T  # [i, j], j < i
-    base = upper & (jnp.abs(dist - pair_distance) <= pair_distance_epsilon)
+    if cfg.use_distance_filter:
+        base = upper & (jnp.abs(dist - pair_distance)
+                        <= pair_distance_epsilon)
+    else:
+        base = upper
 
     # normal-angle band (applies when enabled and both normals valid)
     if cfg.max_normal_difference > 0:

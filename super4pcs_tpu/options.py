@@ -42,6 +42,14 @@ class Options:
     max_time_seconds: int = 60
     #: RNG seed (ref:shared4pcs.h:171).
     random_seed: int = MT19937_DEFAULT_SEED
+    #: Estimate a similarity (scaled-rigid) transform instead of rigid —
+    #: the reference's compile-time MULTISCALE mode (off by default
+    #: there too): the pair distance filter is disabled and the fit
+    #: estimates a per-candidate scale from the two segment ratios,
+    #: rejecting candidates whose ratios deviate > 10%
+    #: (ref:match4pcsBase.cc:390-414, 4pcs.cc:141-143). Expect far more
+    #: pairs — raise max_pairs accordingly.
+    estimate_scale: bool = False
 
     # validated pair, set via configure_overlap (ref:shared4pcs.h:173-190)
     overlap_estimation: float = 0.2

@@ -171,3 +171,46 @@ def test_clean_invalid_normals():
     np.testing.assert_allclose(out[1], 0.0)
     np.testing.assert_allclose(np.linalg.norm(out[2]), 1.0, atol=1e-6)
     np.testing.assert_allclose(np.linalg.norm(out[3]), 1.0, atol=1e-6)
+
+
+def test_rigid_fit_with_scale_estimation(rng):
+    """Similarity mode (the reference's MULTISCALE path,
+    ref:match4pcsBase.cc:390-414): a uniformly scaled candidate quad is
+    fit with the scale recovered in the linear part."""
+    from super4pcs_tpu.ops.geometry import batched_rigid_fit
+    base = rng.uniform(-1, 1, (4, 3)).astype(np.float32)
+    s = 1.37
+    a = rng.normal(size=(3, 3))
+    q_, r_ = np.linalg.qr(a)
+    q_ = q_ * np.sign(np.diag(r_))
+    if np.linalg.det(q_) < 0:
+        q_[:, 0] = -q_[:, 0]
+    rot = q_.astype(np.float32)
+    t = rng.uniform(-1, 1, 3).astype(np.float32)
+    # candidate = inverse-similarity image of the base
+    cand = ((base - t) @ rot) / s
+    c1 = base[:3].mean(0)
+    c2 = cand[:3].mean(0)
+    tr, rms, valid = batched_rigid_fit(
+        jnp.asarray(base), jnp.asarray(cand[None]),
+        jnp.asarray(c1), jnp.asarray(c2[None]), -1.0, estimate_scale=True)
+    assert bool(valid[0])
+    assert float(rms[0]) < 1e-3
+    got = np.asarray(tr[0])
+    moved = cand @ got[:3, :3].T + got[:3, 3]
+    np.testing.assert_allclose(moved, base, atol=1e-3)
+    # linear part carries the scale
+    est_scale = np.linalg.norm(got[:3, :3], axis=0).mean()
+    assert abs(est_scale - s) < 0.02
+
+
+def test_rigid_fit_scale_gate_rejects_mismatched_ratios(rng):
+    from super4pcs_tpu.ops.geometry import batched_rigid_fit
+    base = rng.uniform(-1, 1, (4, 3)).astype(np.float32)
+    cand = base.copy()
+    cand[3] = base[2] + (base[3] - base[2]) * 2.0   # second segment 2x
+    tr, rms, valid = batched_rigid_fit(
+        jnp.asarray(base), jnp.asarray(cand[None]),
+        jnp.asarray(base[:3].mean(0)), jnp.asarray(cand[None, :3].mean(1)),
+        -1.0, estimate_scale=True)
+    assert not bool(valid[0])

@@ -262,3 +262,28 @@ def test_register_api_mesh(rng, make_transform):
                    options=Options(bases_per_step=8, max_quads=512,
                                    max_candidates=1024))
     assert res.score > 0.8
+
+
+def test_similarity_registration_estimate_scale(rng, make_transform):
+    """End-to-end MULTISCALE analog: recover a scaled rigid transform
+    (scale 1.25) with estimate_scale=True."""
+    pos = bumpy_cloud(rng, 80)
+    s = 1.25
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = ((pos @ inv[:3, :3].T + inv[:3, 3]) / s).astype(np.float32)
+
+    # without the distance filter every point pair is a candidate, so
+    # quad counts are much higher than in rigid mode — size buffers up
+    opts = Options(delta=0.04, sample_size=80, max_time_seconds=30,
+                   bases_per_step=8, estimate_scale=True,
+                   max_pairs=4096, max_quads=2048, max_candidates=8192,
+                   random_seed=21).configure_overlap(0.9)
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    assert res.score > 0.8, res.score
+    moved = q @ res.transform[:3, :3].T + res.transform[:3, 3]
+    d = np.linalg.norm(moved - pos, axis=1)
+    assert np.median(d) < 0.04
+    est_scale = np.linalg.norm(res.transform[:3, :3], axis=0).mean()
+    assert abs(est_scale - s) < 0.05, est_scale
