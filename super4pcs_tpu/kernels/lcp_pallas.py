@@ -1,23 +1,26 @@
-"""Pallas TPU kernel for the LCP min-distance core.
+"""Pallas TPU kernels for the LCP min-distance core.
 
 The hot op of the whole framework (the reference's ``Verify`` kd-tree
 walk, ref:src/super4pcs/algorithms/match4pcsBase.cc:504-567): for every
-transformed query row, the squared distance to its nearest P point.
+candidate transform and query point, the squared distance to the
+nearest P point.
 
-Design notes (why not the MXU):
-- the distance matrix is a K=3 contraction — on the 128x128 systolic
-  array that runs at 3/128 utilization, and the |a|^2+|b|^2-2ab
-  expansion it requires loses ~1e-7 absolute to cancellation;
-- the XLA fallback (ops/lcp.py) therefore pays for an HBM round-trip of
-  the (C*Nq, Np) cross matrix plus an argmin + exact-recompute pass;
-- here the whole thing is one VPU program: P lives in VMEM transposed
-  as (8, Np), each grid step streams an (M_TILE, 8) slab of transformed
-  queries, and d2 is accumulated coordinate-wise as exact f32
-  (a-b)^2 sums — no expansion, no cancellation, no second pass, and the
-  (M_TILE, P_TILE) distance block never leaves VMEM.
+Design notes:
+- the distance matrix is a K=3 contraction — on the 128x128 MXU that
+  runs at 3/128 utilization and the |a|^2+|b|^2-2ab expansion it needs
+  loses ~1e-7 absolute to cancellation. The d2 blocks are therefore
+  computed on the VPU as exact f32 coordinate-wise (a-b)^2 sums;
+- the candidate transform is applied *inside* the kernel: each
+  candidate carries one homogeneous 8x8 matrix A with A[:3,:3] = R^T
+  and A[3,:3] = t, so tq = q8 @ A for q8 rows (x, y, z, 1, 0...). This
+  keeps the (C, Nq, 3) transformed cloud out of HBM entirely — XLA
+  would pad its 3-lane minor dim to 128 (a 42x memory blowup that OOMs
+  at C=2k, Nq=8k);
+- Q and P live in VMEM for the whole program; the (Q_TILE, P_TILE) d2
+  block never leaves VMEM.
 
-Coordinates are padded 3 -> 8 with zeros (sublane multiple); padded P
-rows carry a +1e18 sentinel so they never win the min.
+Outputs are (C, Nq) min squared distances; the LCP threshold/mean runs
+in XLA. Padded P columns carry a +1e18 sentinel so they never win.
 """
 
 from __future__ import annotations
@@ -32,26 +35,146 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _PAD = 1.0e18
-M_TILE = 512       # query rows per grid step
-P_TILE = 2048      # P columns per inner iteration
+Q_TILE = 512       # query rows per inner iteration
+P_TILE = 1024      # P columns per inner iteration
+M_TILE = 512       # rows per grid step of the raw-rows kernel
 
-# VMEM guard: p8t is 32 B/point; leave room for the d2 block + slabs.
+# VMEM guard: p8t is ~32 B/point plus the d2 block and q slab.
 MAX_P_VMEM = 300_000
+MAX_Q_VMEM = 65_536
 
 
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _min_dist_kernel(tq_ref, p_ref, out_ref, *, n_ptiles):
-    """out[m] = min_j sum_k (tq[m,k] - p[k,j])^2  (exact f32, VPU)."""
+def _p8t_of(p_pos: jnp.ndarray, np_pad: int) -> jnp.ndarray:
+    """(8, np_pad) transposed, zero coord-padded, sentinel col-padded."""
+    n = p_pos.shape[0]
+    p8t = jnp.zeros((8, np_pad), jnp.float32)
+    p8t = p8t.at[:3, :n].set(p_pos.T)
+    if np_pad > n:
+        p8t = p8t.at[0, n:].set(_PAD)
+    return p8t
 
-    def body(i, acc):
-        sl = pl.ds(i * P_TILE, P_TILE)
-        d2 = (tq_ref[:, 0:1] - p_ref[0:1, sl]) ** 2
-        d2 += (tq_ref[:, 1:2] - p_ref[1:2, sl]) ** 2
-        d2 += (tq_ref[:, 2:3] - p_ref[2:3, sl]) ** 2
-        return jnp.minimum(acc, jnp.min(d2, axis=1, keepdims=True))
+
+def _min_d2_block(tq_ref_or_arr, p_ref, pi):
+    sl = pl.ds(pi * P_TILE, P_TILE)
+    t = tq_ref_or_arr
+    d2 = (t[:, 0:1] - p_ref[0:1, sl]) ** 2
+    d2 += (t[:, 1:2] - p_ref[1:2, sl]) ** 2
+    d2 += (t[:, 2:3] - p_ref[2:3, sl]) ** 2
+    return jnp.min(d2, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# candidate-transform kernel: out[c, q] = min_p || A_c q - p ||^2
+# ---------------------------------------------------------------------------
+
+C_TILE = 8         # candidates per grid step (sublane-divisible output)
+
+
+def _lcp_min_kernel(a_ref, q_ref, p_ref, out_ref, *, n_qtiles, n_ptiles):
+    for ci in range(C_TILE):
+        a = a_ref[ci]                              # (8, 8)
+
+        def q_body(qi, _, a=a, ci=ci):
+            qsl = pl.ds(qi * Q_TILE, Q_TILE)
+            tq = jnp.dot(q_ref[qsl, :], a,
+                         preferred_element_type=jnp.float32)   # (QT, 8)
+
+            def p_body(pi, m):
+                return jnp.minimum(m, _min_d2_block(tq, p_ref, pi))
+
+            m = jax.lax.fori_loop(
+                0, n_ptiles, p_body,
+                jnp.full((Q_TILE, 1), jnp.inf, dtype=jnp.float32))
+            out_ref[ci, qsl] = m[:, 0]
+            return 0
+
+        jax.lax.fori_loop(0, n_qtiles, q_body, 0)
+
+
+def candidate_min_sq_dists(transforms, q_pos, p_pos):
+    """(C, Nq) exact min squared distances of every transformed query to
+    the P cloud — transforms applied in-kernel."""
+    c = transforms.shape[0]
+    c_pad = _round_up(max(c, C_TILE), C_TILE)
+    nq = q_pos.shape[0]
+    nq_pad = _round_up(max(nq, 8), Q_TILE)
+    np_pad = _round_up(max(p_pos.shape[0], 128), P_TILE)
+
+    # homogeneous 8x8: rows of q8 are (x, y, z, 1, 0, 0, 0, 0)
+    a = jnp.zeros((c_pad, 8, 8), jnp.float32)
+    a = a.at[:c, :3, :3].set(jnp.swapaxes(transforms[:, :3, :3], 1, 2))
+    a = a.at[:c, 3, :3].set(transforms[:, :3, 3])
+
+    q8 = jnp.zeros((nq_pad, 8), jnp.float32)
+    q8 = q8.at[:nq, :3].set(q_pos)
+    q8 = q8.at[:, 3].set(1.0)
+    p8t = _p8t_of(p_pos, np_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_lcp_min_kernel,
+                          n_qtiles=nq_pad // Q_TILE,
+                          n_ptiles=np_pad // P_TILE),
+        grid=(c_pad // C_TILE,),
+        in_specs=[
+            pl.BlockSpec((C_TILE, 8, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, np_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C_TILE, nq_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c_pad, nq_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * c_pad * nq_pad * np_pad, transcendentals=0,
+            bytes_accessed=c_pad * 256 + nq_pad * 32 + np_pad * 32
+            + c_pad * nq_pad * 4),
+    )(a, q8, p8t)
+    return out[:c, :nq]
+
+
+def lcp_scores_pallas(transforms, q_pos, p_pos, epsilon):
+    """Drop-in for ops.lcp.lcp_scores on TPU: (C,) LCP fractions."""
+    c = transforms.shape[0]
+    nq = q_pos.shape[0]
+    if nq < Q_TILE:
+        # small-Q: flattening (C*nq, 8) rows avoids the Q_TILE padding
+        # waste and its HBM temp stays modest (32 B/row)
+        rot = transforms[:, :3, :3]
+        trans = transforms[:, :3, 3]
+        tq = jnp.einsum('cij,nj->cni', rot, q_pos,
+                        precision=jax.lax.Precision.HIGHEST) \
+            + trans[:, None]
+        d2 = min_sq_dists(tq.reshape(c * nq, 3), p_pos).reshape(c, nq)
+    else:
+        # large-Q: apply the transform in-kernel; no (C, Nq, 3) temp
+        d2 = candidate_min_sq_dists(transforms, q_pos, p_pos)
+    eps2 = jnp.asarray(epsilon, jnp.float32) ** 2
+    return jnp.mean(d2 <= eps2, axis=-1)
+
+
+def supported(p_count: int, q_count: int = 0) -> bool:
+    """Whether the kernel path applies (TPU backend, clouds fit VMEM)."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return (backend in ("tpu", "axon") and p_count <= MAX_P_VMEM
+            and q_count <= MAX_Q_VMEM)
+
+
+# ---------------------------------------------------------------------------
+# raw-rows kernel: out[m] = min_p || tq[m] - p ||^2 (no transform)
+# ---------------------------------------------------------------------------
+
+def _min_dist_kernel(tq_ref, p_ref, out_ref, *, n_ptiles):
+    def body(pi, acc):
+        return jnp.minimum(acc, _min_d2_block(tq_ref[:, :], p_ref, pi))
 
     init = jnp.full((tq_ref.shape[0], 1), jnp.inf, dtype=jnp.float32)
     out_ref[:, :] = jax.lax.fori_loop(0, n_ptiles, body, init)
@@ -65,19 +188,11 @@ def min_sq_dists(tq: jnp.ndarray, p_pos: jnp.ndarray) -> jnp.ndarray:
     np_pad = _round_up(max(p_pos.shape[0], 128), P_TILE)
 
     tq8 = jnp.zeros((m_pad, 8), jnp.float32).at[:m, :3].set(tq)
-    p8t = jnp.full((8, np_pad), 0.0, jnp.float32)
-    p8t = p8t.at[3:, :].set(0.0)
-    p8t = p8t.at[:3, :p_pos.shape[0]].set(p_pos.T)
-    # sentinel: padded P columns sit at +1e18 on the first coordinate
-    if np_pad > p_pos.shape[0]:
-        p8t = p8t.at[0, p_pos.shape[0]:].set(_PAD)
-
-    n_ptiles = np_pad // P_TILE
-    grid = (m_pad // M_TILE,)
+    p8t = _p8t_of(p_pos, np_pad)
 
     out = pl.pallas_call(
-        functools.partial(_min_dist_kernel, n_ptiles=n_ptiles),
-        grid=grid,
+        functools.partial(_min_dist_kernel, n_ptiles=np_pad // P_TILE),
+        grid=(m_pad // M_TILE,),
         in_specs=[
             pl.BlockSpec((M_TILE, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -92,25 +207,3 @@ def min_sq_dists(tq: jnp.ndarray, p_pos: jnp.ndarray) -> jnp.ndarray:
             bytes_accessed=m_pad * 32 + np_pad * 32 + m_pad * 4),
     )(tq8, p8t)
     return out[:m, 0]
-
-
-def supported(p_count: int) -> bool:
-    """Whether the kernel path applies (TPU backend, P fits VMEM)."""
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        return False
-    return backend in ("tpu", "axon") and p_count <= MAX_P_VMEM
-
-
-def lcp_scores_pallas(transforms, q_pos, p_pos, epsilon):
-    """Drop-in for ops.lcp.lcp_scores on TPU: (C,) LCP fractions."""
-    c = transforms.shape[0]
-    nq = q_pos.shape[0]
-    rot = transforms[:, :3, :3]
-    trans = transforms[:, :3, 3]
-    tq = jnp.einsum('cij,nj->cni', rot, q_pos,
-                    precision=jax.lax.Precision.HIGHEST) + trans[:, None]
-    d2 = min_sq_dists(tq.reshape(c * nq, 3), p_pos).reshape(c, nq)
-    eps2 = jnp.asarray(epsilon, jnp.float32) ** 2
-    return jnp.mean(d2 <= eps2, axis=-1)

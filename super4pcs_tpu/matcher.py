@@ -41,7 +41,8 @@ from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
                       K_NUMBER_OF_DIAMETER_TRIALS)
 from .ops import congruent, geometry, lcp, sampling, select
 from .ops.masking import masked_indices
-from .ops.pairs import PairFilterConfig, extract_pairs
+from .ops.pairs import (PairFilterConfig, extract_pairs,
+                        extract_pairs_blocked)
 from .utils import Logger, LogLevel
 from .visitor import DummyTransformVisitor, visitor_needs_global
 
@@ -130,6 +131,13 @@ def build_step(opts: Options, nq: int, cone_tol: float):
     b_per_step = opts.bases_per_step
     delta = opts.delta
 
+    # dense (n^2-mask) extraction up to ~2k Q samples; block-scanned
+    # beyond that so per-base memory stays O(block * nq)
+    if nq <= 2048:
+        _extract = extract_pairs
+    else:
+        _extract = functools.partial(extract_pairs_blocked, block=512)
+
     def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         ids, inv1, inv2, bvalid = select.select_base(
             key, p_pos, diam, n_tri)
@@ -137,10 +145,10 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         base_norm = p_norm[ids]
         base_rgb = p_rgb[ids]
 
-        pairs1, v1, c1 = extract_pairs(
+        pairs1, v1, c1 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
             0, 1, eps_pairs, cfg, k_pairs)
-        pairs2, v2, c2 = extract_pairs(
+        pairs2, v2, c2 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
             2, 3, eps_pairs, cfg, k_pairs)
 

@@ -67,7 +67,7 @@ def lcp_scores(transforms, q_pos, p_pos, epsilon,
     """
     if use_pallas:
         from ..kernels import lcp_pallas
-        if lcp_pallas.supported(int(p_pos.shape[0])):
+        if lcp_pallas.supported(int(p_pos.shape[0]), int(q_pos.shape[0])):
             return lcp_pallas.lcp_scores_pallas(
                 transforms, q_pos, p_pos, epsilon)
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 
 from .masking import masked_indices
@@ -57,69 +58,21 @@ def pair_emit_masks(
     pair_distance, pair_normals_angle, pair_distance_epsilon,
     cfg: PairFilterConfig,
 ):
-    """Dense (n, n) emission masks for ordered pairs.
+    """Dense (n, n) emission mask: ``emit[u, v]`` means the ordered pair
+    (first=u, second=v) is produced.
 
-    Evaluates the reference pair predicate on the upper triangle
-    (p = point j, q = point i, j < i as in ref:4pcs.cc:131-134) and
-    returns a full ordered-pair mask where ``emit[u, v]`` means the
-    ordered pair (first=u, second=v) is produced.
-    """
-    n = pos.shape[0]
-    diff = pos[:, None, :] - pos[None, :, :]          # [i, j] = q_i - q_j
-    dist = jnp.linalg.norm(diff, axis=-1)
-
-    upper = jnp.triu(jnp.ones((n, n), dtype=bool), k=1).T  # [i, j], j < i
-    if cfg.use_distance_filter:
-        base = upper & (jnp.abs(dist - pair_distance)
-                        <= pair_distance_epsilon)
-    else:
-        base = upper
-
-    # normal-angle band (applies when enabled and both normals valid)
-    if cfg.max_normal_difference > 0:
-        nsq = jnp.sum(normal * normal, axis=-1)
-        both = (nsq[:, None] > 0) & (nsq[None, :] > 0)
-        first_ang = jnp.linalg.norm(
-            normal[:, None, :] - normal[None, :, :], axis=-1)
-        second_ang = jnp.linalg.norm(
-            normal[:, None, :] + normal[None, :, :], axis=-1)
-        ndist = jnp.minimum(jnp.abs(first_ang - pair_normals_angle),
-                            jnp.abs(second_ang - pair_normals_angle))
-        thr = 0.5 * cfg.max_normal_difference * math.pi / 180.0
-        base = base & jnp.where(both, ndist <= thr, True)
-
-    # color distance vs the base endpoints (p vs base0, q vs base1)
-    if cfg.max_color_distance > 0:
-        has = rgb[:, 0] >= 0
-        base_has = (base_p0_rgb[0] >= 0) & (base_p1_rgb[0] >= 0)
-        use_rgb = has[:, None] & has[None, :] & base_has   # [i, j]
-        dp = jnp.linalg.norm(rgb - base_p0_rgb, axis=-1)   # per j (p side)
-        dq = jnp.linalg.norm(rgb - base_p1_rgb, axis=-1)   # per i (q side)
-        good = (dp[None, :] < cfg.max_color_distance) & \
-               (dq[:, None] < cfg.max_color_distance)
-        base = base & jnp.where(use_rgb, good, True)
-
-    # translation distance vs the base endpoints
-    if cfg.max_translation_distance > 0:
-        tp = jnp.linalg.norm(pos - base_p0_pos, axis=-1)
-        tq = jnp.linalg.norm(pos - base_p1_pos, axis=-1)
-        base = base & (tp[None, :] < cfg.max_translation_distance) & \
-                      (tq[:, None] < cfg.max_translation_distance)
-
-    # emission: (j, i) and (i, j), optionally gated by the rotation angle
-    if cfg.max_angle > 0:
-        seg1 = base_p1_pos - base_p0_pos
-        seg1 = seg1 / jnp.linalg.norm(seg1)
-        seg2 = diff / jnp.maximum(dist, 1e-30)[..., None]  # [i, j] dir q_i-q_j
-        cosang = jnp.clip(jnp.sum(seg2 * seg1, axis=-1), -1.0, 1.0)
-        max_rad = cfg.max_angle * math.pi / 180.0
-        fwd = jnp.arccos(cosang) <= max_rad     # emit (j, i)
-        rev = jnp.arccos(-cosang) <= max_rad    # emit (i, j)
-        emit = (base & fwd).T | (base & rev)    # transpose: (j,i) -> [u=j,v=i]
-    else:
-        emit = base.T | base
-
-    return emit
+    Every filter is evaluated in ordered form — first vs base endpoint
+    0, second vs endpoint 1, emission direction second-minus-first. The
+    reference instead checks colors/translation in one orientation only
+    and then emits *both* orders (ref:4pcs.cc:161-196) — a quirk not
+    reproduced: a pair whose attributes only match the reversed
+    orientation would pair base points with mismatched attributes."""
+    return ordered_pair_mask(
+        pos, normal, rgb, pos, normal, rgb,
+        base_p0_pos, base_p1_pos, base_p0_norm, base_p1_norm,
+        base_p0_rgb, base_p1_rgb,
+        pair_distance, pair_normals_angle, pair_distance_epsilon,
+        cfg, u_offset=0)
 
 
 def extract_pairs(
@@ -148,5 +101,143 @@ def extract_pairs(
 
     n = pos.shape[0]
     flat_idx, valid, count = masked_indices(emit.reshape(-1), capacity)
+    pairs = jnp.stack([flat_idx // n, flat_idx % n], axis=-1)
+    return pairs.astype(jnp.int32), valid, count
+
+
+def ordered_pair_mask(
+    pos_u, normal_u, rgb_u,        # (bu, 3) row slice (the 'first' point)
+    pos, normal, rgb,              # (n, 3) all points (the 'second')
+    base_p0_pos, base_p1_pos,
+    base_p0_norm, base_p1_norm,
+    base_p0_rgb, base_p1_rgb,
+    pair_distance, pair_normals_angle, pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    u_offset,
+):
+    """Ordered-pair predicate on a row block: mask[u, v] == True iff the
+    ordered pair (first = u_offset+u, second = v) passes every filter.
+
+    Same semantics as :func:`pair_emit_masks` (which evaluates the upper
+    triangle and mirrors) expressed directly in ordered form, so large
+    clouds can be scanned block-by-block with O(block * n) memory.
+    """
+    bu = pos_u.shape[0]
+    n = pos.shape[0]
+    diff = pos[None, :, :] - pos_u[:, None, :]       # [u, v] = q_v - q_u
+    dist = jnp.linalg.norm(diff, axis=-1)
+
+    u_ids = u_offset + jnp.arange(bu, dtype=jnp.int32)
+    mask = u_ids[:, None] != jnp.arange(n, dtype=jnp.int32)[None, :]
+    if cfg.use_distance_filter:
+        mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
+
+    if cfg.max_normal_difference > 0:
+        nsq_u = jnp.sum(normal_u * normal_u, axis=-1)
+        nsq = jnp.sum(normal * normal, axis=-1)
+        both = (nsq_u[:, None] > 0) & (nsq[None, :] > 0)
+        first_ang = jnp.linalg.norm(
+            normal_u[:, None, :] - normal[None, :, :], axis=-1)
+        second_ang = jnp.linalg.norm(
+            normal_u[:, None, :] + normal[None, :, :], axis=-1)
+        ndist = jnp.minimum(jnp.abs(first_ang - pair_normals_angle),
+                            jnp.abs(second_ang - pair_normals_angle))
+        thr = 0.5 * cfg.max_normal_difference * math.pi / 180.0
+        mask &= jnp.where(both, ndist <= thr, True)
+
+    if cfg.max_color_distance > 0:
+        has_u = rgb_u[:, 0] >= 0
+        has = rgb[:, 0] >= 0
+        base_has = (base_p0_rgb[0] >= 0) & (base_p1_rgb[0] >= 0)
+        use_rgb = has_u[:, None] & has[None, :] & base_has
+        dp = jnp.linalg.norm(rgb_u - base_p0_rgb, axis=-1)  # first vs b0
+        dq = jnp.linalg.norm(rgb - base_p1_rgb, axis=-1)    # second vs b1
+        good = (dp[:, None] < cfg.max_color_distance) & \
+               (dq[None, :] < cfg.max_color_distance)
+        mask &= jnp.where(use_rgb, good, True)
+
+    if cfg.max_translation_distance > 0:
+        tp = jnp.linalg.norm(pos_u - base_p0_pos, axis=-1)
+        tq = jnp.linalg.norm(pos - base_p1_pos, axis=-1)
+        mask &= (tp[:, None] < cfg.max_translation_distance) & \
+                (tq[None, :] < cfg.max_translation_distance)
+
+    if cfg.max_angle > 0:
+        seg1 = base_p1_pos - base_p0_pos
+        seg1 = seg1 / jnp.linalg.norm(seg1)
+        cosang = jnp.clip(jnp.sum(
+            diff / jnp.maximum(dist, 1e-30)[..., None] * seg1, axis=-1),
+            -1.0, 1.0)
+        mask &= jnp.arccos(cosang) <= cfg.max_angle * math.pi / 180.0
+
+    return mask
+
+
+def extract_pairs_blocked(
+    pos, normal, rgb,
+    base_pos, base_norm, base_rgb,
+    edge0: int, edge1: int,
+    pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    capacity: int,
+    block: int = 512,
+):
+    """Large-cloud form of :func:`extract_pairs`: scans row blocks of the
+    ordered-pair predicate with a running scatter compaction, so memory
+    is O(block * n) instead of O(n^2). Same outputs.
+
+    The TPU equivalent, at scale, of the reference's sphere
+    rasterization engine (ref:accelerators/pairExtraction/
+    intersectionFunctor.h) — the FLOPs stay dense (VPU-friendly) while
+    the n x n mask never materializes.
+    """
+    n = pos.shape[0]
+    b0p, b1p = base_pos[edge0], base_pos[edge1]
+    pair_distance = jnp.linalg.norm(b0p - b1p)
+    pair_normals_angle = jnp.linalg.norm(base_norm[edge0] - base_norm[edge1])
+
+    n_pad = ((n + block - 1) // block) * block
+    pad = n_pad - n
+    # pad rows with a far sentinel so they never pass the filters
+    pos_p = jnp.concatenate(
+        [pos, jnp.full((pad, 3), 1e18, pos.dtype)]) if pad else pos
+    norm_p = jnp.concatenate(
+        [normal, jnp.zeros((pad, 3), normal.dtype)]) if pad else normal
+    rgb_p = jnp.concatenate(
+        [rgb, jnp.full((pad, 3), -1.0, rgb.dtype)]) if pad else rgb
+    n_blocks = n_pad // block
+
+    def body(carry, blk_idx):
+        out_idx, n_found = carry
+        r0 = blk_idx * block
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, r0, block)
+        mask = ordered_pair_mask(
+            sl(pos_p), sl(norm_p), sl(rgb_p), pos, normal, rgb,
+            b0p, b1p, base_norm[edge0], base_norm[edge1],
+            base_rgb[edge0], base_rgb[edge1],
+            pair_distance, pair_normals_angle, pair_distance_epsilon,
+            cfg, u_offset=r0)
+        # padded rows must never emit (the sentinel only guards
+        # distance-filtered configs)
+        row_ids = r0 + jnp.arange(block, dtype=jnp.int32)
+        mask &= (row_ids < n)[:, None]
+        flat = mask.reshape(-1)
+        local_pos = jnp.cumsum(flat, dtype=jnp.int32) - 1 + n_found
+        target = jnp.where(flat & (local_pos < capacity),
+                           local_pos, capacity)
+        ids = (r0 + jnp.arange(block * n, dtype=jnp.int32) // n) * n \
+            + jnp.arange(block * n, dtype=jnp.int32) % n
+        out_idx = out_idx.at[target].set(ids, mode="drop",
+                                         unique_indices=False)
+        n_found = n_found + jnp.sum(flat, dtype=jnp.int32)
+        return (out_idx, n_found), None
+
+    init = (jnp.full((capacity + 1,), n_pad * n_pad, dtype=jnp.int32),
+            jnp.int32(0))
+    (out_idx, count), _ = jax.lax.scan(
+        body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    flat_idx = out_idx[:capacity]
+    valid = flat_idx < n_pad * n_pad
+    flat_idx = jnp.where(valid, flat_idx, 0)
     pairs = jnp.stack([flat_idx // n, flat_idx % n], axis=-1)
     return pairs.astype(jnp.int32), valid, count

@@ -12,8 +12,11 @@ from super4pcs_tpu.ops.pairs import PairFilterConfig, extract_pairs
 
 def oracle_pairs(pos, normal, rgb, base_pos, base_norm, base_rgb,
                  e0, e1, cfg):
-    """Literal transcription of the reference pair filter
-    (ref:algorithms/pairCreationFunctor.h:151-218, per-pair semantics)."""
+    """Brute-force transcription of the pair filter in *ordered* form:
+    every filter evaluated per emitted (first, second) orientation. The
+    reference checks color/translation once per unordered pair and
+    emits both orders (ref:pairCreationFunctor.h:151-218) — that quirk
+    is deliberately not reproduced (see ops/pairs.py docstring)."""
     out = []
     n = len(pos)
     pair_distance = np.linalg.norm(base_pos[e0] - base_pos[e1])
@@ -21,44 +24,42 @@ def oracle_pairs(pos, normal, rgb, base_pos, base_norm, base_rgb,
     eps = cfg["pair_distance_epsilon"]
     seg1 = base_pos[e1] - base_pos[e0]
     seg1 = seg1 / np.linalg.norm(seg1)
-    for j in range(n):
-        for i in range(j + 1, n):
-            p, q = pos[j], pos[i]
-            distance = np.linalg.norm(q - p)
+    for u in range(n):
+        for v in range(n):
+            if u == v:
+                continue
+            first, second = pos[u], pos[v]
+            distance = np.linalg.norm(second - first)
             if abs(distance - pair_distance) > eps:
                 continue
             mnd = cfg["max_normal_difference"]
-            if (mnd > 0 and np.dot(normal[i], normal[i]) > 0
-                    and np.dot(normal[j], normal[j]) > 0):
+            if (mnd > 0 and np.dot(normal[u], normal[u]) > 0
+                    and np.dot(normal[v], normal[v]) > 0):
                 thr = 0.5 * mnd * math.pi / 180.0
-                fa = np.linalg.norm(normal[i] - normal[j])
-                sa = np.linalg.norm(normal[i] + normal[j])
+                fa = np.linalg.norm(normal[u] - normal[v])
+                sa = np.linalg.norm(normal[u] + normal[v])
                 if min(abs(fa - pna), abs(sa - pna)) > thr:
                     continue
             mcd = cfg["max_color_distance"]
             if mcd > 0:
-                use_rgb = (rgb[j][0] >= 0 and rgb[i][0] >= 0
+                use_rgb = (rgb[u][0] >= 0 and rgb[v][0] >= 0
                            and base_rgb[e0][0] >= 0 and base_rgb[e1][0] >= 0)
-                good = (np.linalg.norm(rgb[j] - base_rgb[e0]) < mcd
-                        and np.linalg.norm(rgb[i] - base_rgb[e1]) < mcd)
+                good = (np.linalg.norm(rgb[u] - base_rgb[e0]) < mcd
+                        and np.linalg.norm(rgb[v] - base_rgb[e1]) < mcd)
                 if use_rgb and not good:
                     continue
             mtd = cfg["max_translation_distance"]
             if mtd > 0:
-                if not (np.linalg.norm(p - base_pos[e0]) < mtd
-                        and np.linalg.norm(q - base_pos[e1]) < mtd):
+                if not (np.linalg.norm(first - base_pos[e0]) < mtd
+                        and np.linalg.norm(second - base_pos[e1]) < mtd):
                     continue
             ma = cfg["max_angle"]
             if ma > 0:
-                seg2 = (q - p) / np.linalg.norm(q - p)
+                seg2 = (second - first) / np.linalg.norm(second - first)
                 mar = ma * math.pi / 180.0
-                if math.acos(np.clip(np.dot(seg1, seg2), -1, 1)) <= mar:
-                    out.append((j, i))
-                if math.acos(np.clip(np.dot(seg1, -seg2), -1, 1)) <= mar:
-                    out.append((i, j))
-            else:
-                out.append((j, i))
-                out.append((i, j))
+                if math.acos(np.clip(np.dot(seg1, seg2), -1, 1)) > mar:
+                    continue
+            out.append((u, v))
     return set(out)
 
 
@@ -134,3 +135,51 @@ def test_capacity_overflow_reports_true_count(rng):
         0, 1, 10.0, cfg, capacity=8)   # eps huge: all pairs pass
     assert int(valid.sum()) == 8
     assert int(count) == 40 * 39  # both orders of every unordered pair
+
+
+def test_blocked_matches_dense(rng):
+    """extract_pairs_blocked must produce the same pair set as the dense
+    form, for every filter combination."""
+    from super4pcs_tpu.ops.pairs import extract_pairs_blocked
+    n = 150
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rgb = rng.integers(0, 255, (n, 3)).astype(np.float32)
+    base = pos[:4]
+    base_n = nrm[:4]
+    base_c = rgb[:4]
+    cfgs = [
+        PairFilterConfig(),
+        PairFilterConfig(max_normal_difference=25.0),
+        PairFilterConfig(max_color_distance=120.0),
+        PairFilterConfig(max_angle=120.0),
+        PairFilterConfig(max_normal_difference=30.0,
+                         max_color_distance=150.0,
+                         max_translation_distance=1.5, max_angle=150.0),
+        PairFilterConfig(use_distance_filter=False),
+    ]
+    for cfg in cfgs:
+        args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(rgb),
+                jnp.asarray(base), jnp.asarray(base_n), jnp.asarray(base_c),
+                0, 1, 0.08, cfg)
+        pd, vd, cd = extract_pairs(*args, capacity=16384)
+        pb, vb, cb = extract_pairs_blocked(*args, capacity=16384, block=64)
+        dense = {tuple(x) for x, v in zip(np.asarray(pd), np.asarray(vd))
+                 if v}
+        blocked = {tuple(x) for x, v in zip(np.asarray(pb), np.asarray(vb))
+                   if v}
+        assert blocked == dense, (cfg, len(blocked), len(dense))
+        assert int(cb) == int(cd)
+
+
+def test_blocked_capacity_overflow(rng):
+    from super4pcs_tpu.ops.pairs import extract_pairs_blocked
+    pos = rng.uniform(-0.01, 0.01, (64, 3)).astype(np.float32)  # all close
+    z = jnp.zeros_like(jnp.asarray(pos))
+    pairs, valid, count = extract_pairs_blocked(
+        jnp.asarray(pos), z, jnp.full_like(z, -1.0),
+        jnp.asarray(pos[:4]), z[:4], jnp.full_like(z[:4], -1.0),
+        0, 1, 10.0, PairFilterConfig(), capacity=128, block=32)
+    assert int(count) > 128          # true count reported
+    assert int(valid.sum()) == 128   # buffer full, no corruption
