@@ -159,11 +159,15 @@ def build_step(opts: Options, nq: int, cone_tol: float):
             s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
             s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
 
+        # scale mode disables the pair distance filter, so live probes
+        # are far denser — give the join a bigger probe budget
+        probe_cap = (8 if opts.estimate_scale else 2) * k_quads
         quads, qvalid, qcount, qdropped = \
             congruent.find_congruent_quads_grid(
                 q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
                 dist_thr, cos_alpha, cone_tol, k_quads,
-                cell_candidates=opts.cell_candidates)
+                cell_candidates=opts.cell_candidates,
+                probe_capacity=probe_cap)
         qvalid = qvalid & bvalid
 
         cand = q_pos[quads]                         # (Kq, 4, 3)

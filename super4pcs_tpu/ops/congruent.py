@@ -133,6 +133,7 @@ def find_congruent_quads_grid(
     cone_cos_tolerance,
     capacity: int,
     cell_candidates: int = 16,
+    probe_capacity: int | None = None,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -187,7 +188,7 @@ def find_congruent_quads_grid(
     # (query, cell) hits BEFORE expanding L candidate slots — this cuts
     # the data-dependent gather volume (the TPU cost driver here) by
     # roughly the inverse occupancy (~25x at reference operating points).
-    cp = _round_up_pow2(min(4 * capacity, k2 * 8))
+    cp = _round_up_pow2(min(probe_capacity or 2 * capacity, k2 * 8))
     counts = hi - lo                                          # (K2, 8)
     pidx, pvalid, pcount = masked_indices(
         (counts > 0).reshape(-1), cp)

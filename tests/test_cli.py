@@ -80,3 +80,17 @@ def test_4pcs_mode_flag(tmp_path, rng, capsys):
                    "-m", str(tmp_path / "m.txt")])
     assert rc == 0
     assert "Use old 4PCS" in capsys.readouterr().out
+
+
+def test_sampled_cloud_exports(tmp_path, rng):
+    p1, p2, pos = make_cloud_files(tmp_path, rng, n=100)
+    s1 = tmp_path / "s1.ply"
+    s2 = tmp_path / "s2.ply"
+    rc = cli.main(["super4pcs", "-i", p1, p2,
+                   "-o", "0.9", "-d", "0.05", "-n", "100", "-t", "10",
+                   "-m", str(tmp_path / "m.txt"),
+                   "--sampled1", str(s1), "--sampled2", str(s2)])
+    assert rc == 0
+    c1, _ = read_object(str(s1))
+    c2, _ = read_object(str(s2))
+    assert 0 < len(c1) <= 100 and 0 < len(c2) <= 100
