@@ -445,11 +445,24 @@ class Match4PCSBase:
 
         t0 = time.perf_counter()
         step_idx = self._trial // b   # continue the PRNG stream on resume
-        while True:
-            out = self._step_fn(
-                self._step_keys(step_idx), diam,
+
+        # Speculative pipelining: keep two steps in flight so device
+        # compute overlaps the (tunnel round-trip) result fetch and the
+        # next key dispatch. The anytime contract tolerates the one
+        # extra in-flight step abandoned at stop — RANSAC trials are
+        # independent.
+        def launch(i):
+            return self._step_fn(
+                self._step_keys(i), diam,
                 self._d_p_pos, self._d_p_norm, self._d_p_rgb,
                 self._d_q_pos, self._d_q_norm, self._d_q_rgb)
+
+        inflight = [launch(step_idx)]
+        while True:
+            inflight.append(launch(step_idx + 1))
+            # one device->host transfer per step: each fetch is a full
+            # round-trip on a remote/tunneled device
+            out = jax.device_get(inflight.pop(0))
             step_lcp = float(out["lcp"])
             self._trial += b
             step_idx += 1
