@@ -287,3 +287,28 @@ def test_similarity_registration_estimate_scale(rng, make_transform):
     assert np.median(d) < 0.04
     est_scale = np.linalg.norm(res.transform[:3, :3], axis=0).mean()
     assert abs(est_scale - s) < 0.05, est_scale
+
+
+def test_partial_overlap_with_noise(rng, make_transform):
+    """Realistic scan-matching case: two partial views sharing ~50% of
+    the surface, with sensor noise at delta/3."""
+    whole = bumpy_cloud(rng, 600)
+    a = whole[whole[:, 0] < 0.35]                 # view A
+    b = whole[whole[:, 0] > -0.35]                # view B (overlaps A)
+    overlap_frac = len(np.intersect1d(
+        np.nonzero(whole[:, 0] < 0.35)[0],
+        np.nonzero(whole[:, 0] > -0.35)[0])) / max(len(b), 1)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q = (b @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    q += rng.normal(scale=0.015, size=q.shape).astype(np.float32)
+
+    opts = Options(delta=0.05, sample_size=len(b), max_time_seconds=45,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
+                   random_seed=29).configure_overlap(
+                       0.5 * overlap_frac, terminate_threshold=0.999)
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=a.copy()), PointCloud(pos=q))
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1, (
+        rot_diff, tr_diff, res.score)
