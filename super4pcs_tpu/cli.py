@@ -27,7 +27,6 @@ import sys
 import numpy as np
 
 from . import io as io_
-from .cloud import PointCloud
 from .matcher import Match4PCS, MatchSuper4PCS
 from .options import Options
 from .ops.geometry import clean_invalid_normals

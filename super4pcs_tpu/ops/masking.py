@@ -8,7 +8,6 @@ True positions of a mask into the first K slots.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -18,15 +18,13 @@ ref:tests/matching.cc:204-348).
 
 from __future__ import annotations
 
-import dataclasses
 import time
-from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..cloud import PointCloud
