@@ -206,3 +206,72 @@ def min_sq_dists(tq: jnp.ndarray, p_pos: jnp.ndarray) -> jnp.ndarray:
             bytes_accessed=m_pad * 32 + np_pad * 32 + m_pad * 4),
     )(tq8, p8t)
     return out[:m, 0]
+
+
+# ---------------------------------------------------------------------------
+# streamed-P kernel: P larger than VMEM, tiled through the Pallas pipeline
+# ---------------------------------------------------------------------------
+
+MAX_P_STREAM = 4_000_000
+
+
+def _min_dist_stream_kernel(tq_ref, p_ref, out_ref):
+    """2-D grid (m tiles x p tiles, p fastest): each step min-reduces one
+    (M_TILE, P_TILE) d2 block into the revisited output block. Pallas
+    pipelines the P-tile DMAs; consecutive p steps share the out block
+    so accumulation is safe."""
+    pi = pl.program_id(1)
+
+    @pl.when(pi == 0)
+    def _():
+        out_ref[:, :] = jnp.full(out_ref.shape, jnp.inf, jnp.float32)
+
+    t = tq_ref[:, :]
+    d2 = (t[:, 0:1] - p_ref[0:1, :]) ** 2
+    d2 += (t[:, 1:2] - p_ref[1:2, :]) ** 2
+    d2 += (t[:, 2:3] - p_ref[2:3, :]) ** 2
+    out_ref[:, :] = jnp.minimum(
+        out_ref[:, :], jnp.min(d2, axis=1, keepdims=True))
+
+
+def min_sq_dists_streamed(tq: jnp.ndarray, p_pos: jnp.ndarray):
+    """Like :func:`min_sq_dists` but P is streamed tile-by-tile through
+    the Pallas pipeline instead of living in VMEM — P up to millions of
+    points. P traffic is one full pass per M_TILE rows of tq."""
+    m = tq.shape[0]
+    np_pad = _round_up(max(p_pos.shape[0], 128), P_TILE)
+    p8t = _p8t_of(p_pos, np_pad)
+    m_pad = _round_up(max(m, 8), M_TILE)
+    tq8 = jnp.zeros((m_pad, 8), jnp.float32).at[:m, :3].set(tq)
+
+    out = pl.pallas_call(
+        _min_dist_stream_kernel,
+        grid=(m_pad // M_TILE, np_pad // P_TILE),
+        in_specs=[
+            pl.BlockSpec((M_TILE, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, P_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M_TILE, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * m_pad * np_pad, transcendentals=0,
+            bytes_accessed=(m_pad // M_TILE) * np_pad * 32
+            + m_pad * 32 + m_pad * 4),
+    )(tq8, p8t)
+    return out[:m, 0]
+
+
+def lcp_scores_pallas_streamed(transforms, q_pos, p_pos, epsilon):
+    """LCP fractions with P streamed (P beyond the VMEM-resident cap)."""
+    c = transforms.shape[0]
+    nq = q_pos.shape[0]
+    rot = transforms[:, :3, :3]
+    trans = transforms[:, :3, 3]
+    tq = jnp.einsum('cij,nj->cni', rot, q_pos,
+                    precision=jax.lax.Precision.HIGHEST) + trans[:, None]
+    d2 = min_sq_dists_streamed(tq.reshape(c * nq, 3), p_pos)
+    eps2 = jnp.asarray(epsilon, jnp.float32) ** 2
+    return jnp.mean(d2.reshape(c, nq) <= eps2, axis=-1)

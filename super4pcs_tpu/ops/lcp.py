@@ -67,8 +67,16 @@ def lcp_scores(transforms, q_pos, p_pos, epsilon,
     """
     if use_pallas:
         from ..kernels import lcp_pallas
-        if lcp_pallas.supported(int(p_pos.shape[0]), int(q_pos.shape[0])):
+        np_count = int(p_pos.shape[0])
+        nq_count = int(q_pos.shape[0])
+        if lcp_pallas.supported(np_count, nq_count):
             return lcp_pallas.lcp_scores_pallas(
+                transforms, q_pos, p_pos, epsilon)
+        if (lcp_pallas.supported(0, 0) and nq_count < lcp_pallas.Q_TILE
+                and np_count <= lcp_pallas.MAX_P_STREAM):
+            # P too big for VMEM residency: stream it through the
+            # Pallas pipeline instead of falling back to XLA
+            return lcp_pallas.lcp_scores_pallas_streamed(
                 transforms, q_pos, p_pos, epsilon)
 
     c = transforms.shape[0]

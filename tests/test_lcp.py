@@ -95,3 +95,19 @@ def test_pallas_kernel_parity_interpreted(rng):
         d2 = lcp_pallas.min_sq_dists(tq, jnp.asarray(p))
     ref = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1).min(1)
     np.testing.assert_allclose(np.asarray(d2), ref, rtol=0, atol=1e-7)
+
+
+def test_streamed_kernel_parity_interpreted(rng):
+    """The streamed-P kernel (P beyond VMEM residency) matches brute
+    force, in interpreter mode on CPU."""
+    from super4pcs_tpu.kernels import lcp_pallas
+    from unittest import mock
+    p = rng.uniform(-1, 1, (3000, 3)).astype(np.float32)
+    tq = rng.uniform(-1, 1, (600, 3)).astype(np.float32)
+    with mock.patch.object(lcp_pallas.pl, "pallas_call",
+                           functools.partial(lcp_pallas.pl.pallas_call,
+                                             interpret=True)):
+        d2 = lcp_pallas.min_sq_dists_streamed(
+            jnp.asarray(tq), jnp.asarray(p))
+    ref = ((tq[:, None, :] - p[None, :, :]) ** 2).sum(-1).min(1)
+    np.testing.assert_allclose(np.asarray(d2), ref, rtol=0, atol=1e-7)
