@@ -39,7 +39,7 @@ import numpy as np
 from .cloud import PointCloud
 from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
                       K_NUMBER_OF_DIAMETER_TRIALS)
-from .ops import congruent, geometry, lcp, sampling, select
+from .ops import congruent, geometry, lcp, refine, sampling, select
 from .ops.masking import masked_indices
 from .ops.pairs import (PairFilterConfig, extract_pairs,
                         extract_pairs_blocked)
@@ -196,11 +196,19 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         # compact the valid candidates across the whole step before
         # the (expensive) LCP scoring — replaces the reference's
         # per-candidate early exits with one dense batch. Capacity
-        # scales with the local (per-shard) base count.
+        # scales with the local (per-shard) base count. When the cap
+        # covers every slot the compaction would be an identity-size
+        # shuffle — skip it and mask instead.
         b_local = keys.shape[0]
         n_cands_local = max(128, (n_cands * b_local) // b_per_step)
-        idx, live, n_valid = masked_indices(flat_v, n_cands_local)
-        cand_t = flat_t[idx]
+        if n_cands_local >= flat_v.shape[0]:
+            idx = jnp.arange(flat_v.shape[0], dtype=jnp.int32)
+            live = flat_v
+            n_valid = jnp.sum(flat_v, dtype=jnp.int32)
+            cand_t = flat_t
+        else:
+            idx, live, n_valid = masked_indices(flat_v, n_cands_local)
+            cand_t = flat_t[idx]
         if opts.verify_top_k > 0:
             scores, sel = lcp.lcp_scores_two_stage(
                 cand_t, q_pos, p_pos, delta,
@@ -292,6 +300,10 @@ class Match4PCSBase:
             self._import_state(resume_state)
         if self._best_lcp != 1.0:
             self._perform_steps(visitor)
+        if self.options.refine_iterations > 0 and self._best_lcp < 1.0:
+            tr0 = time.perf_counter()
+            self._maybe_refine()
+            self._stats["refine_seconds"] = time.perf_counter() - tr0
 
         improved = self._best_lcp > self._initial_lcp
         if improved:
@@ -507,6 +519,32 @@ class Match4PCSBase:
         self._stats["search_seconds"] = time.perf_counter() - t0
 
     # ------------------------------------------------------------------
+
+    def _maybe_refine(self):
+        """Trimmed-ICP polish of the best transform (ops/refine.py);
+        kept only when the exact LCP does not decrease.
+
+        ``self._transform`` already maps centered-Q -> centered-P (the
+        rigid fit's translation equals qcentroid1 - R @ qcentroid2), so
+        refinement runs directly in the centered frames the device
+        arrays live in."""
+        opts = self.options
+        cur = jnp.asarray(self._transform, jnp.float32)
+        refined = refine.refine_transform(
+            cur, self._d_q_pos, self._d_p_pos, opts.delta,
+            iters=opts.refine_iterations)
+        scores = np.asarray(lcp.lcp_scores(
+            jnp.stack([cur, refined]), self._d_q_pos, self._d_p_pos,
+            opts.delta))
+        self._stats["refined_lcp"] = float(scores[1])
+        if scores[1] > self._best_lcp:
+            self._best_lcp = float(scores[1])
+            refined = np.asarray(refined)
+            # _global_transform rebuilds the translation from the
+            # qcentroids; encode the refined translation there
+            self._transform = refined
+            self._qcentroid1 = refined[:3, 3].copy()
+            self._qcentroid2 = np.zeros(3, np.float32)
 
     def _global_transform(self) -> np.ndarray:
         """Recompose the centered-frame best transform into original

@@ -81,6 +81,12 @@ class Options:
     #: replacement for the reference's pointer grid; overflow beyond the
     #: cap is counted in stats["cell_dropped"]).
     cell_candidates: int = 16
+    #: Trimmed-ICP refinement iterations applied to the best transform
+    #: after the search (a quality stage beyond the reference — RANSAC
+    #: 4-point fits leave LCP on the table; guarded: the refined pose is
+    #: kept only if the exact LCP does not decrease, so results are
+    #: always equal-or-better than the reference contract). 0 disables.
+    refine_iterations: int = 8
     #: Two-stage LCP verification (the batched analog of the reference
     #: Verify's early exit, ref:match4pcsBase.cc:520-558): rank all
     #: candidates on subsampled clouds, exact-score only the top

@@ -312,3 +312,25 @@ def test_partial_overlap_with_noise(rng, make_transform):
     rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
     assert rot_diff <= 0.2 and tr_diff <= 0.1, (
         rot_diff, tr_diff, res.score)
+
+
+def test_refinement_improves_noisy_pose(rng, make_transform):
+    """The guarded trimmed-ICP stage must lift (never lower) the LCP on
+    a noisy registration."""
+    pos = bumpy_cloud(rng, 250)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    q += rng.normal(scale=0.012, size=q.shape).astype(np.float32)
+
+    base = Options(delta=0.04, sample_size=250, max_time_seconds=30,
+                   bases_per_step=8, max_quads=1024, max_candidates=2048,
+                   random_seed=31).configure_overlap(0.6, 0.999)
+    res_off = MatchSuper4PCS(base.replace(refine_iterations=0)) \
+        .compute_transformation(PointCloud(pos=pos), PointCloud(pos=q))
+    res_on = MatchSuper4PCS(base.replace(refine_iterations=8)) \
+        .compute_transformation(PointCloud(pos=pos), PointCloud(pos=q))
+    assert res_on.score >= res_off.score - 1e-6
+    assert res_on.score > 0.7
+    rot_diff, tr_diff = rot_tr_diff(res_on.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1
