@@ -31,7 +31,7 @@ from ..cloud import PointCloud
 from ..matcher import (RegistrationResult, build_step, _K_SMALL_ERROR,
                        _K_MIN_TRIALS, _K_DIAMETER_FRACTION)
 from ..options import Options, K_NUMBER_OF_DIAMETER_TRIALS
-from ..ops import geometry, lcp, sampling
+from ..ops import geometry, lcp, refine, sampling
 
 PAIRS_AXIS = "pairs"
 
@@ -155,6 +155,29 @@ def register_batch(
         if (fraction >= 0.99 or trial > n_trials
                 or (best["lcp"] >= opts.terminate_threshold).all()):
             break
+
+    # guarded trimmed-ICP polish, vmapped over the pairs axis (same
+    # contract as the single-pair matcher: kept only if LCP improves)
+    if opts.refine_iterations > 0:
+        cur = jnp.asarray(best["transform"])
+        refined = jax.jit(jax.vmap(
+            lambda t, qp, pp: refine.refine_transform(
+                t, qp, pp, opts.delta, iters=opts.refine_iterations)
+        ))(cur, arrays[3], arrays[0])
+        both = jnp.stack([cur, refined], axis=1)        # (G, 2, 4, 4)
+        scores = jax.jit(jax.vmap(
+            lambda ts, qp, pp: lcp.lcp_scores(ts, qp, pp, opts.delta,
+                                              use_pallas=False)
+        ))(both, arrays[3], arrays[0])
+        scores = np.asarray(scores)
+        refined = np.asarray(refined)
+        for i in range(g):
+            if scores[i, 1] > best["lcp"][i]:
+                best["lcp"][i] = scores[i, 1]
+                best["transform"][i] = refined[i]
+                best["qcentroid1"][i] = refined[i, :3, 3]
+                best["qcentroid2"][i] = 0.0
+                improved[i] = True
 
     results = []
     for i in range(g):
