@@ -21,7 +21,6 @@ Prints exactly one JSON line.
 import json
 import os
 import sys
-import time
 
 HIPPO1 = "/root/reference/assets/hippo1.obj"
 HIPPO2 = "/root/reference/assets/hippo2.obj"
@@ -33,7 +32,6 @@ def main():
     import numpy as np
     from super4pcs_tpu import MatchSuper4PCS, Options, PointCloud
     from super4pcs_tpu.io import read_object
-    from super4pcs_tpu.ops.geometry import clean_invalid_normals
 
     if os.path.exists(HIPPO1):
         set1, _ = read_object(HIPPO1)

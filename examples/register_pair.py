@@ -51,9 +51,9 @@ def main():
 
     print(f"\nfinal LCP: {result.score:.4f} "
           f"after {result.n_trials} trials "
-          f"({result.stats['search_seconds']:.2f}s search)")
+          f"({result.stats.get('search_seconds', 0.0):.2f}s search)")
     print(result.transform)
-    out = write_object("registered.ply", result.transformed_q)
+    out = write_object("registered.ply", result.transformed_q or source)
     print(f"wrote {out}; {len(visitor.poses)} intermediate poses streamed")
 
 

@@ -318,6 +318,11 @@ int parse_ply(const char* path,
 
   if (fmt == 0) {
     for (long i = 0; i < n_vertices; ++i) {
+      skip_ws(p);
+      if (!*p) {  // body shorter than the header's vertex count
+        free(pos); free(nrm); free(rgb);
+        return -6;
+      }
       for (const PlyProp& pr : props) {
         skip_ws(p);
         float val = parse_f(p);

@@ -113,6 +113,9 @@ def get_args(argv, a: Args) -> int:
     except IndexError:
         print("Missing flag value", file=sys.stderr)
         return -1
+    except ValueError:
+        print("Invalid flag value", file=sys.stderr)
+        return -1
 
     # if no output file (geometry/matrix) is set, force 3d mesh
     # (ref:demo-utils.h:158-159)

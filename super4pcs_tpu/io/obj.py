@@ -63,7 +63,11 @@ def _read_obj_python(path: str):
                 elif line.startswith("vt "):
                     vt_rows.append(line[3:].split())
             elif c == "f" and line.startswith("f "):
-                f_rows.append(line[2:].split())
+                # record running counts: negative indices are relative
+                # to the counts at the face line (matches the native
+                # parser and the OBJ spec)
+                f_rows.append((line[2:].split(), len(v_rows),
+                               len(vt_rows), len(vn_rows)))
             elif line.startswith("mtllib"):
                 mtls.append(line[6:].strip())
 
@@ -77,9 +81,16 @@ def _read_obj_python(path: str):
           if vt_rows else None)
 
     faces = np.zeros((len(f_rows), 3, 3), np.int32)
-    for i, row in enumerate(f_rows):
+    for i, (row, nv, nt, nn) in enumerate(f_rows):
         for j in range(3):
-            faces[i, j] = _split_face_token(row[j])
+            a, t, n = _split_face_token(row[j])
+            if a < 0:
+                a = nv + a + 1
+            if t < 0:
+                t = nt + t + 1
+            if n < 0:
+                n = nn + n + 1
+            faces[i, j] = (a, t, n)
     return pos, vn, vt, faces, mtls
 
 

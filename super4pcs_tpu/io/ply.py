@@ -76,6 +76,10 @@ def read_ply(path: str) -> PointCloud:
 
         if fmt == "ascii":
             body = np.loadtxt(f, dtype=np.float64, max_rows=n, ndmin=2)
+            if body.shape[0] != n:
+                raise ValueError(
+                    f"(PLY) header declares {n} vertices, body has "
+                    f"{body.shape[0]}")
             if body.shape[1] < len(props):
                 raise ValueError("(PLY) fewer columns than properties")
             cols = {nm: body[:, i] for i, (_, nm) in enumerate(props)}

@@ -80,7 +80,8 @@ def _lcp_min_kernel(a_ref, q_ref, p_ref, out_ref, *, n_qtiles, n_ptiles):
         def q_body(qi, _, a=a, ci=ci):
             qsl = pl.ds(qi * Q_TILE, Q_TILE)
             tq = jnp.dot(q_ref[qsl, :], a,
-                         preferred_element_type=jnp.float32)   # (QT, 8)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # (QT, 8)
 
             def p_body(pi, m):
                 return jnp.minimum(m, _min_d2_block(tq, p_ref, pi))

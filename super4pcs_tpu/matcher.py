@@ -213,7 +213,7 @@ def build_step(opts: Options, nq: int, cone_tol: float):
             scores, sel = lcp.lcp_scores_two_stage(
                 cand_t, q_pos, p_pos, delta,
                 coarse_q=opts.coarse_q, coarse_p=opts.coarse_p,
-                top_k=opts.verify_top_k)
+                top_k=opts.verify_top_k, live=live)
             live = live[sel]
             cand_t = cand_t[sel]
             idx = idx[sel]
@@ -300,7 +300,10 @@ class Match4PCSBase:
             self._import_state(resume_state)
         if self._best_lcp != 1.0:
             self._perform_steps(visitor)
-        if self.options.refine_iterations > 0 and self._best_lcp < 1.0:
+        # refinement fits strictly rigid poses — in similarity mode it
+        # would discard the recovered scale and always be rejected
+        if (self.options.refine_iterations > 0 and self._best_lcp < 1.0
+                and not self.options.estimate_scale):
             tr0 = time.perf_counter()
             self._maybe_refine()
             self._stats["refine_seconds"] = time.perf_counter() - tr0

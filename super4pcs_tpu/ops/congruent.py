@@ -189,7 +189,9 @@ def find_congruent_quads_grid(
     # the data-dependent gather volume (the TPU cost driver here) by
     # roughly the inverse occupancy (~25x at reference operating points).
     cp = _round_up_pow2(min(probe_capacity or 2 * capacity, k2 * 8))
-    counts = hi - lo                                          # (K2, 8)
+    # invalid pairs2 slots are index-clamped to (0,0) and would probe
+    # occupied cells, wasting probe budget and faking drop telemetry
+    counts = jnp.where(valid2[:, None], hi - lo, 0)           # (K2, 8)
     pidx, pvalid, pcount = masked_indices(
         (counts > 0).reshape(-1), cp)
     lo_c = lo.reshape(-1)[pidx]

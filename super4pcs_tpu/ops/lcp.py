@@ -145,7 +145,7 @@ def lcp_score_single(transform, q_pos, p_pos, epsilon):
 
 def lcp_scores_two_stage(transforms, q_pos, p_pos, epsilon,
                          coarse_q: int = 64, coarse_p: int = 2048,
-                         top_k: int = 2048):
+                         top_k: int = 2048, live=None):
     """Two-stage LCP: coarse rank on subsampled clouds, exact score for
     the ``top_k`` survivors.
 
@@ -169,6 +169,11 @@ def lcp_scores_two_stage(transforms, q_pos, p_pos, epsilon,
     sq = max(1, -(-q_pos.shape[0] // coarse_q))
     sp = max(1, -(-p_pos.shape[0] // coarse_p))
     coarse = lcp_scores(transforms, q_pos[::sq], p_pos[::sp], epsilon)
+    if live is not None:
+        # dead buffer slots carry index-0-clamped duplicate transforms;
+        # left unmasked they can flood the top_k and evict every live
+        # candidate
+        coarse = jnp.where(live, coarse, -1.0)
     _, idx = jax.lax.top_k(coarse, top_k)
     idx = idx.astype(jnp.int32)
     exact = lcp_scores(transforms[idx], q_pos, p_pos, epsilon)

@@ -94,3 +94,10 @@ def test_sampled_cloud_exports(tmp_path, rng):
     c1, _ = read_object(str(s1))
     c2, _ = read_object(str(s2))
     assert 0 < len(c1) <= 100 and 0 < len(c2) <= 100
+
+
+def test_invalid_flag_value_no_traceback():
+    """Non-numeric flag values exit through the usage path, not a
+    Python traceback."""
+    rc = cli.main(["super4pcs", "-i", "a.ply", "b.ply", "-o", "abc"])
+    assert rc == 0   # same path as unknown flag (ref exits max(c,0))

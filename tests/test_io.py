@@ -140,3 +140,58 @@ def test_native_parser_parity(tmp_path, rng):
     np.testing.assert_array_equal(m_native.tris, m_py.tris)
     np.testing.assert_allclose(p_native.pos, p_py.pos)
     np.testing.assert_allclose(p_native.rgb, p_py.rgb)
+
+
+def test_obj_negative_indices(tmp_path):
+    """Relative (negative) face indices resolve against the running
+    vertex count — identically in both parser tiers."""
+    import super4pcs_tpu.io.native as native_mod
+    from super4pcs_tpu.io import obj as obj_mod
+    import os
+    path = tmp_path / "neg.obj"
+    path.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "f -3 -2 -1\n"
+        "v 2 2 2\nv 3 2 2\nv 2 3 2\n"
+        "f -3 -2 -1\n")
+    expected = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+
+    # python fallback
+    os.environ["SUPER4PCS_TPU_NO_NATIVE"] = "1"
+    native_mod._LIB, native_mod._TRIED = None, False
+    try:
+        _, mesh_py = obj_mod.read_obj(str(path))
+    finally:
+        del os.environ["SUPER4PCS_TPU_NO_NATIVE"]
+        native_mod._LIB, native_mod._TRIED = None, False
+    np.testing.assert_array_equal(mesh_py.tris, expected)
+
+    if native_mod.get_lib() is not None:
+        _, mesh_nat = obj_mod.read_obj(str(path))
+        np.testing.assert_array_equal(mesh_nat.tris, expected)
+
+
+def test_ply_truncated_body_rejected(tmp_path):
+    """A PLY whose body is shorter than the declared vertex count must
+    fail loudly in both parser tiers, never yield phantom points."""
+    import super4pcs_tpu.io.native as native_mod
+    from super4pcs_tpu.io import ply as ply_mod
+    import os
+    path = tmp_path / "trunc.ply"
+    path.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 10\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+        "0 0 0\n1 1 1\n2 2 2\n")
+
+    if native_mod.get_lib() is not None:
+        assert native_mod.native_parse_ply(str(path)) is None
+
+    os.environ["SUPER4PCS_TPU_NO_NATIVE"] = "1"
+    native_mod._LIB, native_mod._TRIED = None, False
+    try:
+        with pytest.raises(ValueError):
+            ply_mod.read_ply(str(path))
+    finally:
+        del os.environ["SUPER4PCS_TPU_NO_NATIVE"]
+        native_mod._LIB, native_mod._TRIED = None, False
