@@ -176,5 +176,20 @@ def lcp_scores_two_stage(transforms, q_pos, p_pos, epsilon,
         coarse = jnp.where(live, coarse, -1.0)
     _, idx = jax.lax.top_k(coarse, top_k)
     idx = idx.astype(jnp.int32)
+
+    # At large Nq an exact pass over all top_k survivors still costs
+    # teraops (top_k * Nq * Np); insert a mid-resolution stage and
+    # exact-score only the best few — the step's argmax needs the exact
+    # value of the winner, not of every survivor (mid-stage sampling
+    # noise ~sqrt(l(1-l)/512) ~ 0.02 << candidate score gaps).
+    if q_pos.shape[0] > 1024:
+        mq = max(1, -(-q_pos.shape[0] // 512))
+        mp = max(1, -(-p_pos.shape[0] // 8192))
+        mid = lcp_scores(transforms[idx], q_pos[::mq], p_pos[::mp],
+                         epsilon)
+        keep = min(64, top_k)
+        _, midsel = jax.lax.top_k(mid, keep)
+        idx = idx[midsel.astype(jnp.int32)]
+
     exact = lcp_scores(transforms[idx], q_pos, p_pos, epsilon)
     return exact, idx
