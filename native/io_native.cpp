@@ -258,6 +258,12 @@ int parse_ply(const char* path,
       if (in_vertex) {
         q += 6;
         n_vertices = parse_i(q);
+      } else if (n_vertices == 0) {
+        // a non-empty element declared BEFORE the vertex element would
+        // have its body misread as vertex data; bail (negative code)
+        // so the caller falls back to the full python parser
+        while (*q && *q != ' ' && *q != '\n') ++q;
+        if (parse_i(q) > 0) return -6;
       }
     } else if (!strncmp(p, "property ", 9) && in_vertex) {
       const char* q = p + 9;

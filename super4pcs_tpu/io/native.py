@@ -30,6 +30,14 @@ def _candidate_paths():
     yield os.path.join(_CACHE, "libsuper4pcs_io.so")
 
 
+def _is_stale(path: str) -> bool:
+    try:
+        return (os.path.exists(_SRC)
+                and os.path.getmtime(path) < os.path.getmtime(_SRC))
+    except OSError:
+        return True
+
+
 def _build() -> Optional[str]:
     if not os.path.exists(_SRC):
         return None
@@ -70,7 +78,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if os.environ.get("SUPER4PCS_TPU_NO_NATIVE"):
         return None
     for path in _candidate_paths():
-        if os.path.exists(path):
+        # stale cached builds (older than the source) must not shadow
+        # parser fixes — rebuild instead
+        if os.path.exists(path) and not _is_stale(path):
             try:
                 _LIB = _bind(ctypes.CDLL(path))
                 return _LIB

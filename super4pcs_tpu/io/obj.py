@@ -122,11 +122,15 @@ def read_obj(path: str):
                 normal = vn
         elif tri_norm.any():
             # bind face normals onto vertices (ref:io.cc:189-193), last
-            # face wins, then rebuild 1:1 (ref:io.cc:207-218)
+            # face wins, then rebuild 1:1 (ref:io.cc:207-218). Faces
+            # without a normal index (0 slot in a mixed file) must not
+            # bind vn[0] to their vertices — scatter only where present.
             normal = np.zeros_like(pos)
             flat_v = tris.reshape(-1) - 1
-            flat_n = np.clip(tri_norm.reshape(-1) - 1, 0, len(vn) - 1)
-            normal[flat_v] = vn[flat_n]
+            flat_n = tri_norm.reshape(-1)
+            has_n = flat_n > 0
+            normal[flat_v[has_n]] = \
+                vn[np.clip(flat_n[has_n] - 1, 0, len(vn) - 1)]
 
     mesh = Mesh(
         tris=tris - 1,

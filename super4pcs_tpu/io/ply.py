@@ -26,16 +26,16 @@ _NP_TYPES = {
 
 
 def _parse_header(f):
-    """Parse the PLY header; returns (fmt, n_vertices, properties,
-    header_size). ``properties`` is a list of (type, name) for the vertex
-    element."""
+    """Parse the PLY header; returns (fmt, elements, header_size).
+    ``elements`` is the ordered list of (name, count, props) with props
+    the raw token tuples after 'property' (so list properties keep
+    their full declaration)."""
     magic = f.readline()
     if magic.strip() not in (b"ply", b"PLY"):
         raise ValueError("(PLY) not a PLY file")
     fmt = None
-    n_vertices = 0
-    properties = []
-    in_vertex = False
+    elements = []
+    props = None
     while True:
         line = f.readline()
         if not line:
@@ -47,16 +47,34 @@ def _parse_header(f):
         if key == "format":
             fmt = tokens[1]
         elif key == "element":
-            in_vertex = tokens[1] == "vertex"
-            if in_vertex:
-                n_vertices = int(tokens[2])
-        elif key == "property" and in_vertex:
-            if tokens[1] == "list":
-                raise ValueError("(PLY) list property on vertex element")
-            properties.append((tokens[1], tokens[2]))
+            props = []
+            elements.append((tokens[1], int(tokens[2]), props))
+        elif key == "property" and props is not None:
+            props.append(tuple(tokens[1:]))
         elif key == "end_header":
             break
-    return fmt, n_vertices, properties, f.tell()
+    return fmt, elements, f.tell()
+
+
+def _skip_elements(f, fmt, elements):
+    """Advance past non-vertex elements declared before the vertex
+    block (e.g. a camera element). ASCII rows are lines; binary strides
+    are computable only for non-list properties — a binary list element
+    before the vertices is an error, not silent garbage."""
+    for name, count, eprops in elements:
+        if count <= 0:
+            continue
+        if fmt == "ascii":
+            for _ in range(count):
+                f.readline()
+        else:
+            if any(p[0] == "list" for p in eprops):
+                raise ValueError(
+                    f"(PLY) cannot skip binary list element '{name}' "
+                    "declared before the vertex element")
+            stride = sum(np.dtype(_NP_TYPES[p[0]]).itemsize
+                         for p in eprops)
+            f.seek(stride * count, 1)
 
 
 def read_ply(path: str) -> PointCloud:
@@ -68,7 +86,16 @@ def read_ply(path: str) -> PointCloud:
         pos, nrm, rgb = parsed
         return PointCloud(pos=pos, normal=nrm, rgb=rgb)
     with open(path, "rb") as f:
-        fmt, n, props, header_size = _parse_header(f)
+        fmt, elements, header_size = _parse_header(f)
+        vi = next((i for i, e in enumerate(elements)
+                   if e[0] == "vertex"), None)
+        if vi is None:
+            raise ValueError("(PLY) no vertex element")
+        n = elements[vi][1]
+        if any(p[0] == "list" for p in elements[vi][2]):
+            raise ValueError("(PLY) list property on vertex element")
+        props = [(p[0], p[1]) for p in elements[vi][2]]
+        _skip_elements(f, fmt, elements[:vi])
 
         names = [p[1] for p in props]
         if not all(c in names for c in ("x", "y", "z")):

@@ -145,10 +145,10 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         base_norm = p_norm[ids]
         base_rgb = p_rgb[ids]
 
-        pairs1, v1, c1 = _extract(
+        pairs1, v1, c1, d1 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
             0, 1, eps_pairs, cfg, k_pairs)
-        pairs2, v2, c2 = _extract(
+        pairs2, v2, c2, d2 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
             2, 3, eps_pairs, cfg, k_pairs)
 
@@ -178,10 +178,13 @@ def build_step(opts: Options, nq: int, cone_tol: float):
             estimate_scale=opts.estimate_scale)
         cvalid = qvalid & tvalid & (rms >= 0) & (rms < rms_gate)
 
+        # telemetry row: exact pre-cap pair counts, exact pre-cap quad
+        # count, per-cell join drops, and pairs actually dropped from
+        # the buffers (incl. blocked-extraction per-block cap drops)
         return dict(transform=transform, cvalid=cvalid,
                     centroid1=centroid1, centroid2=centroid2,
                     ids=ids, quads=quads,
-                    counts=jnp.stack([c1, c2, qcount, qdropped]))
+                    counts=jnp.stack([c1, c2, qcount, qdropped, d1 + d2]))
 
     def step(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         """One device step over ``keys.shape[0]`` bases. Written to be
@@ -206,9 +209,13 @@ def build_step(opts: Options, nq: int, cone_tol: float):
             live = flat_v
             n_valid = jnp.sum(flat_v, dtype=jnp.int32)
             cand_t = flat_t
+            cands_dropped = jnp.int32(0)
         else:
             idx, live, n_valid = masked_indices(flat_v, n_cands_local)
             cand_t = flat_t[idx]
+            # candidates beyond the compaction cap never reach LCP
+            # scoring: count them (items, not steps)
+            cands_dropped = jnp.maximum(n_valid - n_cands_local, 0)
         if opts.verify_top_k > 0:
             scores, sel = lcp.lcp_scores_two_stage(
                 cand_t, q_pos, p_pos, delta,
@@ -233,6 +240,7 @@ def build_step(opts: Options, nq: int, cone_tol: float):
             base_ids=tb["ids"][b],
             congruent_ids=tb["quads"][b, qi],
             n_congruent=n_valid,
+            cands_dropped=cands_dropped,
             pair_counts=tb["counts"],
         )
 
@@ -394,6 +402,8 @@ class Match4PCSBase:
         self._d_q_rgb = jnp.asarray(sampled_q.rgb_or_invalid(), f32)
 
         self._trial = 0
+        # *_overflow / *_dropped are exact dropped-ITEM counts across
+        # the run (pairs, quads, candidates lost to static buffer caps)
         self._stats = {
             "pairs_overflow": 0, "quads_overflow": 0,
             "cands_overflow": 0, "n_congruent": 0, "cell_dropped": 0,
@@ -484,13 +494,15 @@ class Match4PCSBase:
 
             self._stats["n_congruent"] += int(out["n_congruent"])
             counts = np.asarray(out["pair_counts"])
-            self._stats["pairs_overflow"] += int(
-                (counts[:, :2] > self._k_pairs).sum())
+            # overflow counters are DROPPED-ITEM counts (pairs / quads /
+            # candidates lost to static buffer caps), not step counts —
+            # "never silently truncate without counting" means knowing
+            # how much was truncated
+            self._stats["pairs_overflow"] += int(counts[:, 4].sum())
             self._stats["quads_overflow"] += int(
-                (counts[:, 2] > self._k_quads).sum())
+                np.maximum(counts[:, 2] - self._k_quads, 0).sum())
             self._stats["cell_dropped"] += int(counts[:, 3].sum())
-            self._stats["cands_overflow"] += int(
-                int(out["n_congruent"]) > self._n_cands)
+            self._stats["cands_overflow"] += int(out["cands_dropped"])
 
             if step_lcp > self._best_lcp:
                 self._best_lcp = step_lcp

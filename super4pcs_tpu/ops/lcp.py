@@ -187,6 +187,12 @@ def lcp_scores_two_stage(transforms, q_pos, p_pos, epsilon,
         mp = max(1, -(-p_pos.shape[0] // 8192))
         mid = lcp_scores(transforms[idx], q_pos[::mq], p_pos[::mp],
                          epsilon)
+        if live is not None:
+            # re-apply the live mask: when live candidates < top_k, the
+            # coarse top_k admits dead slots whose tied mid scores would
+            # otherwise flood the keep=64 selection (same flood class as
+            # the coarse stage above)
+            mid = jnp.where(live[idx], mid, -1.0)
         keep = min(64, top_k)
         _, midsel = jax.lax.top_k(mid, keep)
         idx = idx[midsel.astype(jnp.int32)]

@@ -86,8 +86,10 @@ def extract_pairs(
     """Extract ordered pairs matching one base edge, compacted to a
     static buffer.
 
-    Returns (pairs (capacity, 2) int32, valid (capacity,), count).
-    ``count`` is the exact number of pairs pre-cap (overflow telemetry).
+    Returns (pairs (capacity, 2) int32, valid (capacity,), count,
+    dropped). ``count`` is the exact number of pairs pre-cap and
+    ``dropped`` the exact number of emissions missing from the buffer —
+    the "never silently truncate without counting" invariant.
     """
     b0p, b1p = base_pos[edge0], base_pos[edge1]
     pair_distance = jnp.linalg.norm(b0p - b1p)
@@ -102,7 +104,8 @@ def extract_pairs(
     n = pos.shape[0]
     flat_idx, valid, count = masked_indices(emit.reshape(-1), capacity)
     pairs = jnp.stack([flat_idx // n, flat_idx % n], axis=-1)
-    return pairs.astype(jnp.int32), valid, count
+    dropped = jnp.maximum(count - capacity, 0)
+    return pairs.astype(jnp.int32), valid, count, dropped
 
 
 def ordered_pair_mask(
@@ -245,4 +248,11 @@ def extract_pairs_blocked(
     sel, valid, _ = masked_indices(valids.reshape(-1), capacity)
     pairs = jnp.stack([us.reshape(-1)[sel], vs.reshape(-1)[sel]], axis=-1)
     count = jnp.sum(counts, dtype=jnp.int32)
-    return pairs.astype(jnp.int32), valid, count
+    # exact drop accounting at both truncation points: a block whose
+    # hits exceed local_cap (hits concentrated in one row block) drops
+    # even when the global total stays under capacity, and the merge
+    # drops whatever the captured union exceeds capacity by
+    captured = jnp.sum(jnp.minimum(counts, local_cap), dtype=jnp.int32)
+    blk_dropped = count - captured
+    merge_dropped = jnp.maximum(captured - capacity, 0)
+    return pairs.astype(jnp.int32), valid, count, blk_dropped + merge_dropped

@@ -68,6 +68,7 @@ def sharded_step(step_fn, mesh: Mesh, axis: str = BASES_AXIS):
             out[name] = gathered[name][best_dev]
         # telemetry: sum counters, concatenate per-base tables
         out["n_congruent"] = jnp.sum(gathered["n_congruent"])
+        out["cands_dropped"] = jnp.sum(gathered["cands_dropped"])
         pc = gathered["pair_counts"]
         out["pair_counts"] = pc.reshape((-1,) + pc.shape[2:])
         return out

@@ -195,3 +195,58 @@ def test_ply_truncated_body_rejected(tmp_path):
     finally:
         del os.environ["SUPER4PCS_TPU_NO_NATIVE"]
         native_mod._LIB, native_mod._TRIED = None, False
+
+
+def test_ply_pre_vertex_element_ascii(tmp_path):
+    """An element (e.g. camera) declared before the vertex element must
+    not be misread as vertex data — ascii rows are skipped (both the
+    native parser, which bails to this fallback, and the numpy path)."""
+    path = tmp_path / "cam.ply"
+    path.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element camera 1\n"
+        "property float view_px\nproperty float view_py\n"
+        "property float view_pz\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+        "9 9 9\n"            # camera row: must be skipped
+        "0 0 0\n1 0 0\n0 1 0\n")
+    c = read_ply(str(path))
+    np.testing.assert_allclose(
+        c.pos, [[0, 0, 0], [1, 0, 0], [0, 1, 0]], atol=0)
+
+
+def test_ply_pre_vertex_element_binary(tmp_path):
+    path = tmp_path / "camb.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element camera 1\n"
+        "property float view_px\nproperty float view_py\n"
+        "element vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n")
+    cam = np.asarray([9.0, 9.0], "<f4").tobytes()
+    verts = np.asarray([[1, 2, 3], [4, 5, 6]], "<f4").tobytes()
+    path.write_bytes(header.encode() + cam + verts)
+    c = read_ply(str(path))
+    np.testing.assert_allclose(c.pos, [[1, 2, 3], [4, 5, 6]], atol=0)
+
+
+def test_obj_mixed_face_normal_indices(tmp_path):
+    """Faces without a normal index must not bind vn[0] to their
+    vertices (round-1 advisor finding: the absent-index 0 was clamped
+    to vn[0])."""
+    path = tmp_path / "mixed.obj"
+    path.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\nv 1 1 0\nv 1 0 1\n"
+        "vn 1 0 0\nvn 0 1 0\nvn 0 0 1\n"
+        "f 1//1 2//2 3//3\n"
+        "f 4 5 6\n")          # no normal indices: vertices 4-6 unset
+    c, _ = read_obj(str(path))
+    np.testing.assert_allclose(c.normal[0], [1, 0, 0], atol=0)
+    np.testing.assert_allclose(c.normal[1], [0, 1, 0], atol=0)
+    np.testing.assert_allclose(c.normal[2], [0, 0, 1], atol=0)
+    # faces without normal indices leave their vertices' normals zero,
+    # NOT bound to vn[0]
+    np.testing.assert_allclose(c.normal[3:], np.zeros((3, 3)), atol=0)

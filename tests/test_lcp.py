@@ -80,6 +80,40 @@ def test_two_stage_matches_full(rng):
     assert abs(float(full[0]) - float(jnp.max(two))) < 1e-6
 
 
+def test_two_stage_mid_stage_respects_live_mask(rng):
+    """Dead buffer slots (index-0-clamped duplicates) must not flood the
+    mid-resolution keep=64 selection when live candidates < top_k.
+
+    Repro of the round-1 advisor finding: transforms[0] is a dead slot
+    duplicated into every other dead slot and scores 1.0; the only live
+    candidate scores lower. Without re-masking at the mid stage, all 64
+    survivors are dead and the step would return LCP -1 while a live
+    candidate existed."""
+    from super4pcs_tpu.ops.lcp import lcp_scores, lcp_scores_two_stage
+    p = rng.uniform(-1, 1, size=(1400, 3)).astype(np.float32)
+    q = p[rng.permutation(1400)[:1100]] - np.float32([0.35, 0.0, 0.0])
+
+    perfect = np.eye(4, dtype=np.float32)
+    perfect[:3, 3] = [0.35, 0.0, 0.0]          # q -> p exactly (LCP 1.0)
+    off = perfect.copy()
+    off[:3, 3] += [0.06, 0.0, 0.0]             # offset > delta: mediocre
+    c = 128
+    mats = np.tile(perfect, (c, 1, 1))         # dead slots = clones of [0]
+    mats[5] = off
+    live = np.zeros(c, bool)
+    live[5] = True
+
+    qd, pd = jnp.asarray(q), jnp.asarray(p)
+    mats = jnp.asarray(mats)
+    two, sel = lcp_scores_two_stage(mats, qd, pd, 0.05,
+                                    top_k=96, live=jnp.asarray(live))
+    masked = jnp.where(jnp.asarray(live)[sel], two, -1.0)
+    best = int(sel[jnp.argmax(masked)])
+    assert best == 5, f"live candidate evicted (best={best})"
+    want = float(lcp_scores(mats[5:6], qd, pd, 0.05)[0])
+    assert abs(float(jnp.max(masked)) - want) < 1e-6
+
+
 def test_pallas_kernel_parity_interpreted(rng):
     """The Pallas kernel math, run in interpreter mode on CPU, matches
     the XLA oracle exactly."""

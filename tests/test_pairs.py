@@ -85,7 +85,7 @@ def run_case(rng, n=60, **filters):
         max_translation_distance=cfg_d["max_translation_distance"],
         max_angle=cfg_d["max_angle"])
 
-    pairs, valid, count = extract_pairs(
+    pairs, valid, count, dropped = extract_pairs(
         jnp.asarray(pos), jnp.asarray(normal), jnp.asarray(rgb),
         jnp.asarray(base_pos), jnp.asarray(base_norm), jnp.asarray(base_rgb),
         0, 1, cfg_d["pair_distance_epsilon"], cfg, capacity=4096)
@@ -129,12 +129,13 @@ def test_capacity_overflow_reports_true_count(rng):
     rgb = np.full_like(pos, -1.0)
     base_pos = pos[:4]
     cfg = PairFilterConfig()
-    pairs, valid, count = extract_pairs(
+    pairs, valid, count, dropped = extract_pairs(
         jnp.asarray(pos), jnp.asarray(zero), jnp.asarray(rgb),
         jnp.asarray(base_pos), jnp.asarray(zero[:4]), jnp.asarray(rgb[:4]),
         0, 1, 10.0, cfg, capacity=8)   # eps huge: all pairs pass
     assert int(valid.sum()) == 8
     assert int(count) == 40 * 39  # both orders of every unordered pair
+    assert int(dropped) == 40 * 39 - 8
 
 
 def test_blocked_matches_dense(rng):
@@ -163,8 +164,8 @@ def test_blocked_matches_dense(rng):
         args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(rgb),
                 jnp.asarray(base), jnp.asarray(base_n), jnp.asarray(base_c),
                 0, 1, 0.08, cfg)
-        pd, vd, cd = extract_pairs(*args, capacity=16384)
-        pb, vb, cb = extract_pairs_blocked(*args, capacity=16384, block=64)
+        pd, vd, cd, dd = extract_pairs(*args, capacity=16384)
+        pb, vb, cb, db = extract_pairs_blocked(*args, capacity=16384, block=64)
         dense = {tuple(x) for x, v in zip(np.asarray(pd), np.asarray(vd))
                  if v}
         blocked = {tuple(x) for x, v in zip(np.asarray(pb), np.asarray(vb))
@@ -177,9 +178,53 @@ def test_blocked_capacity_overflow(rng):
     from super4pcs_tpu.ops.pairs import extract_pairs_blocked
     pos = rng.uniform(-0.01, 0.01, (64, 3)).astype(np.float32)  # all close
     z = jnp.zeros_like(jnp.asarray(pos))
-    pairs, valid, count = extract_pairs_blocked(
+    pairs, valid, count, dropped = extract_pairs_blocked(
         jnp.asarray(pos), z, jnp.full_like(z, -1.0),
         jnp.asarray(pos[:4]), z[:4], jnp.full_like(z[:4], -1.0),
         0, 1, 10.0, PairFilterConfig(), capacity=128, block=32)
     assert int(count) > 128          # true count reported
     assert int(valid.sum()) == 128   # buffer full, no corruption
+    assert int(count) == int(valid.sum()) + int(dropped)
+
+
+def test_blocked_per_block_drop_counted(rng):
+    """Hits concentrated in one row block must be counted as dropped
+    even when the global total stays under capacity (the silent-drop
+    class: per-block local_cap clips before the global merge ever
+    fills).
+
+    Geometry: a 32-point cluster at the origin (row block 0) paired
+    against 80 targets on a +x spherical cap at distance 1. The
+    max_angle filter kills the reversed orientation, so nearly every
+    hit lands in block 0: ~2560 hits > local_cap while the global
+    total stays under capacity=4096."""
+    from super4pcs_tpu.ops.pairs import extract_pairs_blocked
+    n = 256
+    pos = np.zeros((n, 3), np.float32)
+    pos[:32] = rng.normal(scale=0.003, size=(32, 3))      # cluster, block 0
+    d = rng.normal(size=(80, 3))
+    d[:, 0] = np.abs(d[:, 0]) + 1.5                        # +x cap
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos[32:112] = d                                        # targets at r=1
+    pos[112:] = np.stack([1000.0 + 10.0 * np.arange(n - 112),
+                          np.zeros(n - 112), np.zeros(n - 112)],
+                         axis=1)                           # inert far points
+    base_pos = np.array([[0, 0, 0], [1, 0, 0],
+                         [0, 0.5, 0], [0.5, 0.5, 0]], np.float32)
+    z = jnp.zeros((n, 3), jnp.float32)
+    neg = jnp.full((n, 3), -1.0, jnp.float32)
+    cfg = PairFilterConfig(max_angle=90.0)
+    pairs, valid, count, dropped = extract_pairs_blocked(
+        jnp.asarray(pos), z, neg,
+        jnp.asarray(base_pos), jnp.zeros((4, 3)), jnp.full((4, 3), -1.0),
+        0, 1, 0.1, cfg, capacity=4096, block=32)
+    count, dropped, captured = int(count), int(dropped), int(valid.sum())
+    assert count < 4096              # global capacity NOT exceeded
+    assert dropped > 0               # ...but a block clipped locally
+    assert captured == count - dropped
+    # and the dense form on the same inputs confirms the true count
+    _, vd, cd, _ = extract_pairs(
+        jnp.asarray(pos), z, neg,
+        jnp.asarray(base_pos), jnp.zeros((4, 3)), jnp.full((4, 3), -1.0),
+        0, 1, 0.1, cfg, capacity=8192)
+    assert int(cd) == count
