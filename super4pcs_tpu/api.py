@@ -34,6 +34,7 @@ def register(
     algorithm: str = "super4pcs",
     visitor=None,
     mesh=None,
+    **option_overrides,
 ) -> RegistrationResult:
     """Globally register ``source`` onto ``target``.
 
@@ -52,11 +53,14 @@ def register(
       algorithm: "super4pcs" (smart indexing) or "4pcs" (quadratic).
       mesh: optional jax.sharding.Mesh with a "bases" axis — shards each
         device step's RANSAC trials across the mesh (parallel/sharded).
+      **option_overrides: any further Options field (e.g.
+        ``phase_timing=True``, ``bases_per_step=32``); unknown names
+        raise TypeError via dataclasses.replace.
     """
     opts = options or Options()
     if overlap is not None:
         opts = opts.configure_overlap(overlap)
-    kw = {}
+    kw = dict(option_overrides)
     if delta is not None:
         kw["delta"] = float(delta)
     if sample_size is not None:

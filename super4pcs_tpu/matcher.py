@@ -82,22 +82,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def build_step(opts: Options, nq: int, cone_tol: float):
-    """Build the jittable RANSAC device step.
+def _build_try_base(opts: Options, nq: int, cone_tol: float):
+    """Build the single-base trial function shared by the production
+    step (:func:`build_step`) and the phase probes
+    (:func:`build_phase_probes`).
 
-    A module-level builder so the same program serves three execution
-    shapes: single-device jit, bases-axis shard_map (parallel/sharded),
-    and pairs-axis vmap for batched scan-graph registration
-    (parallel/batch). The step signature is
-
-        step(keys (B,), diam (), p_pos, p_norm, p_rgb,
-             q_pos, q_norm, q_rgb) -> dict
-
-    ``diam`` (the max base diameter, ref:hpp:172) is a traced argument
-    rather than a closure constant so a pairs-axis vmap can carry one
-    per registration pair.
-
-    Returns (step, (k_pairs, k_quads, n_cands)).
+    Returns (try_base, (k_pairs, k_quads, n_cands)).
     """
     # Capacity defaults. The reference keeps *all* pairs and scores
     # *every* congruent quad (ref:hpp:390-393); undersized buffers
@@ -184,7 +174,37 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         return dict(transform=transform, cvalid=cvalid,
                     centroid1=centroid1, centroid2=centroid2,
                     ids=ids, quads=quads,
-                    counts=jnp.stack([c1, c2, qcount, qdropped, d1 + d2]))
+                    counts=jnp.stack([c1, c2, qcount, qdropped, d1 + d2]),
+                    # intermediates for the phase probes (unused outputs
+                    # are dead-code-eliminated from the production step)
+                    _pairs_sum=(jnp.sum(pairs1 * v1[:, None])
+                                + jnp.sum(pairs2 * v2[:, None])),
+                    _quads_sum=jnp.sum(quads * qvalid[:, None]))
+
+    return try_base, (k_pairs, k_quads, n_cands)
+
+
+def build_step(opts: Options, nq: int, cone_tol: float):
+    """Build the jittable RANSAC device step.
+
+    A module-level builder so the same program serves three execution
+    shapes: single-device jit, bases-axis shard_map (parallel/sharded),
+    and pairs-axis vmap for batched scan-graph registration
+    (parallel/batch). The step signature is
+
+        step(keys (B,), diam (), p_pos, p_norm, p_rgb,
+             q_pos, q_norm, q_rgb) -> dict
+
+    ``diam`` (the max base diameter, ref:hpp:172) is a traced argument
+    rather than a closure constant so a pairs-axis vmap can carry one
+    per registration pair.
+
+    Returns (step, (k_pairs, k_quads, n_cands)).
+    """
+    try_base, caps = _build_try_base(opts, nq, cone_tol)
+    k_pairs, k_quads, n_cands = caps
+    b_per_step = opts.bases_per_step
+    delta = opts.delta
 
     def step(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         """One device step over ``keys.shape[0]`` bases. Written to be
@@ -245,6 +265,43 @@ def build_step(opts: Options, nq: int, cone_tol: float):
         )
 
     return step, (k_pairs, k_quads, n_cands)
+
+
+def build_phase_probes(opts: Options, nq: int, cone_tol: float):
+    """Telescoped sub-programs of the device step for phase timing.
+
+    The production step fuses select/extract/join/fit/verify into one
+    XLA program, so per-phase cost is recovered by timing programs that
+    return only a prefix's outputs — XLA dead-code-eliminates the
+    suffix. The checksums returned exist purely to keep each prefix's
+    compute live. The TPU analog of the reference's per-phase timers
+    (ref:match4pcsBase.hpp:77-83 totalTime/verifyTime/kdTreeTime).
+
+    Returns {"extract": fn, "join": fn, "fit": fn} with the step
+    signature.
+    """
+    try_base, _ = _build_try_base(opts, nq, cone_tol)
+
+    def _vmapped(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
+        return jax.vmap(lambda k: try_base(
+            k, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb))(keys)
+
+    def probe_extract(*args):
+        tb = _vmapped(*args)
+        return tb["_pairs_sum"].sum() + tb["counts"][:, :2].sum()
+
+    def probe_join(*args):
+        tb = _vmapped(*args)
+        return (tb["_pairs_sum"].sum() + tb["_quads_sum"].sum()
+                + tb["counts"].sum())
+
+    def probe_fit(*args):
+        tb = _vmapped(*args)
+        return (tb["_quads_sum"].sum() + tb["counts"].sum()
+                + tb["transform"].sum() + tb["cvalid"].sum())
+
+    return {"extract": probe_extract, "join": probe_join,
+            "fit": probe_fit}
 
 
 class Match4PCSBase:
@@ -421,9 +478,15 @@ class Match4PCSBase:
         # initial verification of the identity transform (ref:hpp:201).
         # Jitted so the (pallas) LCP program lands in the persistent
         # compilation cache instead of recompiling eagerly every run.
-        self._best_lcp = float(jax.jit(lcp.lcp_score_single)(
-            jnp.eye(4, dtype=f32), self._d_q_pos, self._d_p_pos,
-            jnp.float32(opts.delta)))
+        from .utils.profiling import timed_phase
+        from .utils.timer import PhaseTimers
+        host_timers = PhaseTimers()
+        with timed_phase(host_timers, "initial_verify"):
+            self._best_lcp = float(jax.jit(lcp.lcp_score_single)(
+                jnp.eye(4, dtype=f32), self._d_q_pos, self._d_p_pos,
+                jnp.float32(opts.delta)))
+        self._stats["initial_verify_seconds"] = \
+            host_timers.phases["initial_verify"]
         self._initial_lcp = self._best_lcp
         self.logger.verbose("Initial LCP: ", self._best_lcp)
 
@@ -467,6 +530,9 @@ class Match4PCSBase:
         tc = time.perf_counter()
         self._step_fn = self._step_fn.lower(*args).compile()
         self._stats["compile_seconds"] = time.perf_counter() - tc
+
+        if opts.phase_timing:
+            self._measure_phases(args)
 
         t0 = time.perf_counter()
         step_idx = self._trial // b   # continue the PRNG stream on resume
@@ -534,6 +600,39 @@ class Match4PCSBase:
         self._stats["search_seconds"] = time.perf_counter() - t0
 
     # ------------------------------------------------------------------
+
+    def _measure_phases(self, args, repeats: int = 3):
+        """Per-phase device-step breakdown via telescoped sub-programs
+        (see :func:`build_phase_probes`); stored in
+        stats["phase_seconds"] and logged as the reference-style timing
+        table. Min-of-N wall clock: the tunneled-TPU RPC jitter makes
+        single measurements untrustworthy."""
+        from .utils.timer import PhaseTimers
+
+        nq = int(self._d_q_pos.shape[0])
+        probes = build_phase_probes(self.options, nq, self._cone_mode)
+
+        def best_of(fn):
+            jax.block_until_ready(fn(*args))       # compile + warm
+            best = math.inf
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*args))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_extract = best_of(jax.jit(probes["extract"]))
+        t_join = best_of(jax.jit(probes["join"]))
+        t_fit = best_of(jax.jit(probes["fit"]))
+        t_full = best_of(self._step_fn)
+        timers = PhaseTimers()
+        timers.add("select_extract", t_extract)
+        timers.add("join", max(t_join - t_extract, 0.0))
+        timers.add("fit", max(t_fit - t_join, 0.0))
+        timers.add("verify", max(t_full - t_fit, 0.0))
+        timers.add("step_total", t_full)
+        self._stats["phase_seconds"] = dict(timers.phases)
+        self.logger.verbose(timers.table())
 
     def _maybe_refine(self):
         """Trimmed-ICP polish of the best transform (ops/refine.py);

@@ -95,6 +95,12 @@ class Options:
     #: Q / P subsample targets of the coarse ranking stage.
     coarse_q: int = 64
     coarse_p: int = 2048
+    #: Measure a per-phase breakdown of the device step (select/extract,
+    #: join, fit, verify) by timing telescoped sub-programs once after
+    #: compile — the TPU analog of the reference's TEST_GLOBAL_TIMINGS
+    #: table (ref:match4pcsBase.hpp:77-83). Costs a few extra compiles;
+    #: results land in stats["phase_seconds"].
+    phase_timing: bool = False
 
     def configure_overlap(self, overlap: float,
                           terminate_threshold: float = 1.0) -> "Options":

@@ -334,3 +334,27 @@ def test_refinement_improves_noisy_pose(rng, make_transform):
     assert res_on.score > 0.7
     rot_diff, tr_diff = rot_tr_diff(res_on.transform, mat)
     assert rot_diff <= 0.2 and tr_diff <= 0.1
+
+
+def test_phase_timing_breakdown(rng, make_transform):
+    """opts.phase_timing=True surfaces a per-phase device-step table in
+    stats (the reference's TEST_GLOBAL_TIMINGS analog)."""
+    pos = bumpy_cloud(rng, 200)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q_pos = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    opts = Options(delta=0.05, sample_size=200, max_time_seconds=20,
+                   bases_per_step=4, max_quads=512, max_candidates=1024,
+                   random_seed=7, phase_timing=True).configure_overlap(0.9)
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q_pos))
+    phases = res.stats["phase_seconds"]
+    assert set(phases) == {"select_extract", "join", "fit", "verify",
+                           "step_total"}
+    assert all(v >= 0.0 for v in phases.values())
+    assert phases["step_total"] > 0.0
+    # telescoping consistency: prefix phases cannot exceed the total by
+    # more than timing noise
+    assert phases["select_extract"] <= phases["step_total"] * 3
+    assert res.stats["initial_verify_seconds"] > 0.0
+    assert res.improved
