@@ -21,8 +21,10 @@ from .options import Options
 from .cloud import PointCloud
 from .matcher import Match4PCS, MatchSuper4PCS, RegistrationResult
 from .api import register
+from .sequence import (SequenceStepResult, parse_stanford_conf,
+                       reference_pose_diff, register_sequence)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Options",
@@ -31,5 +33,9 @@ __all__ = [
     "MatchSuper4PCS",
     "RegistrationResult",
     "register",
+    "register_sequence",
+    "parse_stanford_conf",
+    "reference_pose_diff",
+    "SequenceStepResult",
     "__version__",
 ]

@@ -414,6 +414,15 @@ class Match4PCSBase:
                 "(P) More samples requested than available: use whole cloud")
         sampled_p = sampling.sample_for_matching(
             P, opts.delta, opts.sample_size, truncate=False, rng=rng)
+        if opts.p_sample_budget:
+            # pin the P shape: one compiled step program serves any
+            # cloud size (see Options.p_sample_budget)
+            n_p = len(sampled_p)
+            if n_p > opts.p_sample_budget:
+                keep = rng.permutation(n_p)[:opts.p_sample_budget]
+            else:
+                keep = np.resize(np.arange(n_p), opts.p_sample_budget)
+            sampled_p = sampled_p.take(keep)
         if len(Q) <= opts.sample_size:
             self.logger.error(
                 "(Q) More samples requested than available: use whole cloud")

@@ -275,26 +275,8 @@ def estimate_diameter(pos: np.ndarray, n_trials: int,
     return float(d.max())
 
 
-def mean_distance(pos: np.ndarray, diameter: float,
-                  chunk: int = 1024) -> float:
-    """Mean nearest-neighbor distance among points with a neighbor closer
-    than ``diameter * 0.2`` (ref:match4pcsBase.cc:158-182).
-
-    The reference passes ``P_diameter_ * 0.2`` as a *squared* distance
-    bound (query.sqdist); that quirk is kept for parity: a point counts
-    when its nearest-neighbor squared distance is <= diameter * 0.2.
-    """
-    n = pos.shape[0]
-    bound_sq = diameter * 0.2
-    total = 0.0
-    count = 0
-    for s in range(0, n, chunk):
-        block = pos[s:s + chunk]                        # (B, 3)
-        d2 = ((block[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
-        idx = np.arange(s, s + block.shape[0])
-        d2[np.arange(block.shape[0]), idx] = np.inf     # exclude self
-        nn = d2.min(axis=1)
-        ok = nn <= bound_sq
-        total += np.sqrt(nn[ok]).sum()
-        count += int(ok.sum())
-    return total / count if count else 0.0
+# NOTE: the reference also computes a P_mean_distance_ via MeanDistance()
+# (ref:match4pcsBase.cc:158-182) but its only consumer is commented out
+# (ref:match4pcsBase.hpp:171 "// delta = P_mean_distance_ * delta;") —
+# dead weight in the reference, deliberately not ported (the round-1
+# port of it was removed as unwired code).

@@ -95,6 +95,16 @@ class Options:
     #: Q / P subsample targets of the coarse ranking stage.
     coarse_q: int = 64
     coarse_p: int = 2048
+    #: Pin the sampled-P point count to exactly this value (truncating
+    #: by random choice / repeat-padding as needed). P-shape stability
+    #: means ONE compiled step program serves clouds of any size — the
+    #: lever that makes sequence/merged-set workloads (sequence.py)
+    #: avoid a 35-90 s XLA recompile per scan. Repeat-padding is exact
+    #: (duplicate P points never change a min-distance); truncation
+    #: subsamples P and is only safe when the budget comfortably covers
+    #: the overlap region. ``None`` keeps the reference semantics (all
+    #: voxel-sampled P points, ref:match4pcsBase.hpp:112-127).
+    p_sample_budget: Optional[int] = None
     #: Measure a per-phase breakdown of the device step (select/extract,
     #: join, fit, verify) by timing telescoped sub-programs once after
     #: compile — the TPU analog of the reference's TEST_GLOBAL_TIMINGS
