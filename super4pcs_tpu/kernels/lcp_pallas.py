@@ -155,7 +155,8 @@ def lcp_scores_pallas(transforms, q_pos, p_pos, epsilon):
         # large-Q: apply the transform in-kernel; no (C, Nq, 3) temp
         d2 = candidate_min_sq_dists(transforms, q_pos, p_pos)
     eps2 = jnp.asarray(epsilon, jnp.float32) ** 2
-    return jnp.mean(d2 <= eps2, axis=-1)
+    from ..ops.lcp import _masked_lcp_mean
+    return _masked_lcp_mean(d2 <= eps2, q_pos)
 
 
 def supported(p_count: int, q_count: int = 0) -> bool:
@@ -275,4 +276,5 @@ def lcp_scores_pallas_streamed(transforms, q_pos, p_pos, epsilon):
                     precision=jax.lax.Precision.HIGHEST) + trans[:, None]
     d2 = min_sq_dists_streamed(tq.reshape(c * nq, 3), p_pos)
     eps2 = jnp.asarray(epsilon, jnp.float32) ** 2
-    return jnp.mean(d2.reshape(c, nq) <= eps2, axis=-1)
+    from ..ops.lcp import _masked_lcp_mean
+    return _masked_lcp_mean(d2.reshape(c, nq) <= eps2, q_pos)

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .masking import masked_indices
+from . import healpix as _healpix
 
 
 def invariant_points(pos, pairs, invariant):
@@ -55,6 +56,54 @@ def pair_directions(pos, pairs):
     return d / jnp.maximum(n, 1e-30)
 
 
+# ---------------------------------------------------------------------------
+# Direction filters. The default is the exact cone mask
+# |dir1 . dir2 - cos(alpha)| <= tol; the optional HEALPix filter mirrors
+# the reference's deprecated ``IndexedNormalHealSet`` (ref:src/super4pcs/
+# accelerators/normalHealSet.h:270-321): the circle of directions at
+# angle alpha around each query direction is sampled and rasterized into
+# ring-scheme pixels, and a candidate passes iff its direction's pixel is
+# among them. Tolerance is implicit in the bin resolution (nside), as in
+# the reference — where the exact mask uses ``cone_cos_tolerance``, the
+# healpix mask uses pixel adjacency.
+# ---------------------------------------------------------------------------
+
+
+def healpix_circle_pixels(dirs, cos_alpha, nside: int, samples: int = 32):
+    """Ring-scheme pixels rasterized by the circle of directions at angle
+    ``alpha`` (given as its cosine) around each row of ``dirs`` (K, 3).
+
+    Returns (K, samples) int32 pixel ids (duplicates possible — callers
+    use membership, not counts). The sampled-circle rasterization is the
+    reference's own scheme (ref:normalHealSet.h:270-321, sampling a
+    quaternion-rotated circle); misses between samples are possible
+    there too and shrink with ``samples``/pixel size.
+    """
+    dirs = jnp.asarray(dirs, jnp.float32)
+    cos_a = jnp.clip(jnp.asarray(cos_alpha, jnp.float32), -1.0, 1.0)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+
+    # orthonormal frame (u, v) perpendicular to each direction; seed with
+    # the least-aligned coordinate axis for stability
+    ax = jnp.argmin(jnp.abs(dirs), axis=-1)                    # (K,)
+    seed = jnp.eye(3, dtype=jnp.float32)[ax]                   # (K, 3)
+    u = jnp.cross(dirs, seed)
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-30)
+    v = jnp.cross(dirs, u)
+
+    t = jnp.linspace(0.0, 2.0 * np.pi, samples, endpoint=False)
+    circ = (cos_a * dirs[:, None, :]
+            + sin_a * (jnp.cos(t)[None, :, None] * u[:, None, :]
+                       + jnp.sin(t)[None, :, None] * v[:, None, :]))
+    return _healpix.vec2pix_ring(nside, circ)                  # (K, S)
+
+
+def _healpix_membership(pix_cand, circle_pix):
+    """``pix_cand`` (...,) vs per-candidate pixel sets ``circle_pix``
+    (..., S): True where the candidate pixel appears in the set."""
+    return jnp.any(pix_cand[..., None] == circle_pix, axis=-1)
+
+
 def find_congruent_quads(
     pos,
     pairs1, valid1,            # (K,2) int32, (K,) bool — base edge (0,1)
@@ -62,10 +111,19 @@ def find_congruent_quads(
     invariant1, invariant2,
     distance_threshold,        # join radius (squared-vs-squared compare)
     base_cos_alpha,            # cos of the angle between the base segments
-    cone_cos_tolerance,        # <0: disable the cone filter (4PCS mode)
+    cone_cos_tolerance,        # <0: disable the direction filter (4PCS mode)
     capacity: int,
+    direction_bins: str = "cone",
+    healpix_nside: int = 4,
+    healpix_samples: int = 32,
 ):
     """Join the two pair sets on invariant-point proximity.
+
+    ``direction_bins`` selects the Super4PCS direction filter: "cone"
+    (exact mask, the default) or "healpix" (rasterized ring-scheme bins,
+    the reference's ``IndexedNormalHealSet`` analog — see
+    :func:`healpix_circle_pixels`). Ignored when
+    ``cone_cos_tolerance < 0``.
 
     Returns (quads (capacity, 4) int32 = (a, b, c, d), valid (capacity,),
     count). Quad layout matches ref:super4pcs.cc:172-173:
@@ -82,10 +140,17 @@ def find_congruent_quads(
     if cone_cos_tolerance >= 0:
         dir1 = pair_directions(pos, pairs1)
         dir2 = pair_directions(pos, pairs2)
-        cos12 = jnp.einsum('id,jd->ij', dir1, dir2,
-                           precision='highest')           # (K1, K2)
-        mask = mask & (jnp.abs(cos12 - base_cos_alpha)
-                       <= cone_cos_tolerance)
+        if direction_bins == "healpix":
+            pix1 = _healpix.vec2pix_ring(healpix_nside, dir1)   # (K1,)
+            circ = healpix_circle_pixels(
+                dir2, base_cos_alpha, healpix_nside, healpix_samples)
+            mask = mask & _healpix_membership(
+                pix1[:, None], circ[None, :, :])               # (K1, K2)
+        else:
+            cos12 = jnp.einsum('id,jd->ij', dir1, dir2,
+                               precision='highest')           # (K1, K2)
+            mask = mask & (jnp.abs(cos12 - base_cos_alpha)
+                           <= cone_cos_tolerance)
 
     k2 = pairs2.shape[0]
     flat_idx, valid, count = masked_indices(mask.reshape(-1), capacity)
@@ -134,6 +199,9 @@ def find_congruent_quads_grid(
     capacity: int,
     cell_candidates: int = 16,
     probe_capacity: int | None = None,
+    direction_bins: str = "cone",
+    healpix_nside: int = 4,
+    healpix_samples: int = 32,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -203,13 +271,20 @@ def find_congruent_quads_grid(
     in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
     slot = jnp.clip(slot, 0, k1 - 1)
 
-    # one packed gather instead of three: [e1 | dir1 | valid] rows,
-    # pre-sorted into hash order so ``slot`` indexes them directly
-    use_cone = cone_cos_tolerance >= 0
+    # one packed gather instead of three: [e1 | dir-filter cols | valid]
+    # rows, pre-sorted into hash order so ``slot`` indexes them directly.
+    # In healpix mode the direction column is the (exactly
+    # float-representable, < 12*nside^2) pixel id instead of the 3-vector.
+    use_dir = cone_cos_tolerance >= 0
+    use_healpix = use_dir and direction_bins == "healpix"
     cols = [e1, valid1[:, None].astype(e1.dtype)]
-    if use_cone:
+    if use_healpix:
+        pix1 = _healpix.vec2pix_ring(
+            healpix_nside, pair_directions(pos, pairs1))
+        cols.insert(1, pix1[:, None].astype(e1.dtype))
+    elif use_dir:
         cols.insert(1, pair_directions(pos, pairs1))
-    packed = jnp.concatenate(cols, axis=1)[order]             # (K1, 4|7)
+    packed = jnp.concatenate(cols, axis=1)[order]             # (K1, 4|5|7)
     g = packed[slot]                                          # (CP, L, .)
 
     # exact validation
@@ -218,7 +293,13 @@ def find_congruent_quads_grid(
     mask = in_cell & (d2 <= r * r)
     mask &= (g[..., -1] > 0) & valid2[qi][:, None]
 
-    if use_cone:
+    if use_healpix:
+        circ = healpix_circle_pixels(
+            pair_directions(pos, pairs2), base_cos_alpha,
+            healpix_nside, healpix_samples)                   # (K2, S)
+        pix_cand = g[..., 3].astype(jnp.int32)                # (CP, L)
+        mask &= _healpix_membership(pix_cand, circ[qi][:, None, :])
+    elif use_dir:
         dir2 = pair_directions(pos, pairs2)
         cos12 = jnp.sum(g[..., 3:6] * dir2[qi][:, None, :], axis=-1)
         mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance

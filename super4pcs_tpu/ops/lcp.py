@@ -31,6 +31,26 @@ import jax.numpy as jnp
 # small enough that |pad|^2 stays finite in float32.
 _PAD = 1.0e18
 
+# Q-side padding sentinel (parallel/batch.py pads ragged Q clouds to the
+# batch maximum with rows at this coordinate). Rows with |x| >= Q_PAD
+# are excluded from the LCP denominator, so a padded cloud's LCP equals
+# its unpadded LCP exactly. Kept an order of magnitude below the P
+# sentinel so every cross term stays finite in float32.
+Q_PAD = 1.0e17
+
+
+def q_valid_mask(q_pos):
+    """(Nq,) bool — False on Q_PAD padding rows (see parallel/batch.py).
+    All-True on any real cloud (coordinates are centroid-centered)."""
+    return jnp.abs(q_pos[:, 0]) < Q_PAD
+
+
+def _masked_lcp_mean(hits, q_pos):
+    """Fraction of hits over *real* Q rows: ``hits`` (..., Nq) bool."""
+    qm = q_valid_mask(q_pos)
+    denom = jnp.maximum(jnp.sum(qm, dtype=jnp.float32), 1.0)
+    return jnp.sum(hits & qm, axis=-1, dtype=jnp.float32) / denom
+
 
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
@@ -131,7 +151,7 @@ def lcp_scores(transforms, q_pos, p_pos, epsilon,
         # (~|a|^2 * 1.2e-7) would otherwise swamp small epsilons.
         nearest = p_pad[min_idx]                          # (cc, nq, 3)
         d2_exact = jnp.sum((tq - nearest) ** 2, axis=-1)
-        return jnp.mean(d2_exact <= sq_eps, axis=-1)
+        return _masked_lcp_mean(d2_exact <= sq_eps, q_pos)
 
     scores = jax.lax.map(score_chunk, t_chunks).reshape(-1)
     return scores[:c]

@@ -81,6 +81,16 @@ class Options:
     #: replacement for the reference's pointer grid; overflow beyond the
     #: cap is counted in stats["cell_dropped"]).
     cell_candidates: int = 16
+    #: Direction filter of the Super4PCS congruent join: "cone" (exact
+    #: dot-product mask, the default) or "healpix" (rasterized
+    #: ring-scheme pixel bins — the reference's deprecated
+    #: ``IndexedNormalHealSet``, ref:accelerators/normalHealSet.h:
+    #: 102-106, 270-321; deprecated upstream because it "slows down the
+    #: approach" — kept as an option for capability parity).
+    direction_bins: str = "cone"
+    #: HEALPix nside resolution of the "healpix" direction filter
+    #: (tolerance is implicit in the pixel size, as in the reference).
+    healpix_nside: int = 4
     #: Trimmed-ICP refinement iterations applied to the best transform
     #: after the search (a quality stage beyond the reference — RANSAC
     #: 4-point fits leave LCP on the table; guarded: the refined pose is
@@ -140,6 +150,10 @@ class Options:
             raise ValueError(
                 "terminate_threshold must be >= overlap_estimation; use "
                 "configure_overlap to set both")
+        if self.direction_bins not in ("cone", "healpix"):
+            raise ValueError(
+                f"direction_bins must be 'cone' or 'healpix', got "
+                f"{self.direction_bins!r}")
 
 
 # Constants shared with the reference algorithm core.

@@ -14,9 +14,13 @@ tracker (ref:src/super4pcs/algorithms/match4pcsBase.hpp:390-393,
 - **pairs axis** (`batch`): independent scan pairs of a scan graph
   shard across chips/hosts with per-pair result gathers only
   (BASELINE.json config #5).
+- **multi-host** (`distributed`): ``jax.distributed`` initialization +
+  a global mesh over every process's devices, so the pairs axis scales
+  across hosts over DCN.
 """
 
+from . import distributed
 from .sharded import make_mesh, sharded_step
 from .batch import register_batch
 
-__all__ = ["make_mesh", "sharded_step", "register_batch"]
+__all__ = ["make_mesh", "sharded_step", "register_batch", "distributed"]

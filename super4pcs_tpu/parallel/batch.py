@@ -6,18 +6,30 @@ given, that axis is sharded across devices (each chip registers its own
 subset of pairs; the only cross-device traffic is the final per-pair
 result gather — embarrassingly parallel, riding ICI/DCN).
 
-Fixed shapes across pairs are obtained by *repeat-padding*: every
-sampled cloud is padded to the batch maximum by repeating its points
-cyclically. Duplicated P points are harmless (duplicate congruent
-candidates score identically); duplicated Q points re-weight the LCP
-denominator toward the repeated points — exact when pads are few,
-documented here rather than hidden. The reference has no batch mode at
-all (single-pair CLI; its matching test loops pairs serially,
-ref:tests/matching.cc:204-348).
+Fixed shapes across pairs are obtained by padding every sampled cloud to
+the batch maximum. P clouds are *repeat*-padded (duplicate P points
+never change a min-distance, so LCP and congruent scoring are exact).
+Q clouds are *sentinel*-padded: pad rows sit at the far ``ops.lcp.Q_PAD``
+coordinate, where the pair-distance filter can never select them and the
+LCP denominator masks them out — a padded pair's LCP is exactly its
+unpadded LCP (tests/test_parallel.py::test_sentinel_padded_lcp_exact).
+The reference has no batch mode at all (single-pair CLI; its matching
+test loops pairs serially, ref:tests/matching.cc:204-348).
+
+Each result carries the same stats dict as the single-pair matcher
+(overflow telemetry, n_congruent, search/compile seconds), and the run
+supports the visitor stream and checkpoint/resume contracts
+(``batch_state`` out / ``resume_state`` in).
+
+Known sentinel caveat: in ``estimate_scale`` mode the pair-distance
+filter is off, so sentinel-sentinel pairs can enter the pair buffers
+(they never join with real invariant points and never win LCP, but they
+waste capacity) — prefer uniform cloud sizes for scale-mode batches.
 """
 
 from __future__ import annotations
 
+import math
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -32,8 +44,13 @@ from ..matcher import (RegistrationResult, build_step, _K_SMALL_ERROR,
                        _K_MIN_TRIALS, _K_DIAMETER_FRACTION)
 from ..options import Options, K_NUMBER_OF_DIAMETER_TRIALS
 from ..ops import geometry, lcp, refine, sampling
+from ..visitor import DummyTransformVisitor, visitor_needs_global
 
 PAIRS_AXIS = "pairs"
+
+# Q-side sentinel coordinate — beyond ops.lcp.Q_PAD so the masked LCP
+# denominator excludes these rows (see ops/lcp.py::q_valid_mask).
+_Q_SENTINEL = 2.0 * lcp.Q_PAD
 
 
 def _repeat_pad(a: np.ndarray, n: int) -> np.ndarray:
@@ -41,6 +58,20 @@ def _repeat_pad(a: np.ndarray, n: int) -> np.ndarray:
         return a
     reps = -(-n // a.shape[0])
     return np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:n]
+
+
+def _sentinel_pad(pos: np.ndarray, n: int) -> np.ndarray:
+    if pos.shape[0] == n:
+        return pos
+    pad = np.full((n - pos.shape[0], 3), _Q_SENTINEL, pos.dtype)
+    return np.concatenate([pos, pad])
+
+
+def _zero_pad(a: np.ndarray, n: int, value: float) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], value, a.dtype)
+    return np.concatenate([a, pad])
 
 
 def _prep(cloud: PointCloud, opts: Options, truncate: bool,
@@ -56,14 +87,31 @@ def register_batch(
     options: Optional[Options] = None,
     mesh: Optional[Mesh] = None,
     algorithm: str = "super4pcs",
+    visitor=None,
+    resume_state: Optional[dict] = None,
 ) -> List[RegistrationResult]:
     """Register ``pairs[g] = (P_g, Q_g)`` for all g in one SPMD program.
 
     When ``mesh`` (1-D, axis 'pairs') is given, G must be divisible by
     the mesh size and the pairs axis is sharded across its devices.
+
+    ``visitor``: optional callable ``visitor(fraction, scores, mats)``
+    with per-pair arrays ``scores (G,)`` / ``mats (G, 4, 4)`` — called
+    once before the loop (fraction 0), after every improving step
+    (fraction -1, matching the single-pair improvement convention,
+    ref:hpp:458-465) and every step (progress fraction). When the
+    visitor answers ``needs_global_transformation() == True`` the mats
+    are recomposed into original coordinates.
+
+    ``resume_state``: dict returned in ``results[g].stats["batch_state"]``
+    of a previous (possibly interrupted) run over the *same pairs and
+    options* — the search resumes from its trial counter and per-pair
+    best-so-far, continuing the same PRNG stream.
     """
     opts = options or Options()
     cone_tol = opts.cone_cos_tolerance if algorithm == "super4pcs" else -1.0
+    visitor = visitor or DummyTransformVisitor()
+    needs_global = visitor_needs_global(visitor)
     g = len(pairs)
     if g == 0:
         return []
@@ -76,6 +124,7 @@ def register_batch(
              for p, q in pairs]
     np_max = max(len(pp) for (pp, _), _ in preps)
     nq_max = max(len(qq) for _, (qq, _) in preps)
+    nq_real = np.asarray([len(qq) for _, (qq, _) in preps])
 
     p_pos = np.stack([_repeat_pad(pp.pos - cp, np_max)
                       for (pp, cp), _ in preps])
@@ -83,48 +132,93 @@ def register_batch(
                        for (pp, _), _ in preps])
     p_rgb = np.stack([_repeat_pad(pp.rgb_or_invalid(), np_max)
                       for (pp, _), _ in preps])
-    q_pos = np.stack([_repeat_pad(qq.pos - cq, nq_max)
+    q_pos = np.stack([_sentinel_pad(qq.pos - cq, nq_max)
                       for _, (qq, cq) in preps])
-    q_norm = np.stack([_repeat_pad(qq.normals_or_zero(), nq_max)
+    q_norm = np.stack([_zero_pad(qq.normals_or_zero(), nq_max, 0.0)
                        for _, (qq, _) in preps])
-    q_rgb = np.stack([_repeat_pad(qq.rgb_or_invalid(), nq_max)
+    q_rgb = np.stack([_zero_pad(qq.rgb_or_invalid(), nq_max, -1.0)
                       for _, (qq, _) in preps])
     cent_p = np.stack([cp for (_, cp), _ in preps])
     cent_q = np.stack([cq for _, (_, cq) in preps])
 
+    # diameter from the *unpadded* samples (sentinel rows would blow the
+    # estimate up by ~Q_PAD/extent)
     diams = np.asarray([
-        geometry.estimate_diameter(q_pos[i], K_NUMBER_OF_DIAMETER_TRIALS,
-                                   rng)
+        geometry.estimate_diameter(
+            preps[i][1][0].pos - cent_q[i], K_NUMBER_OF_DIAMETER_TRIALS,
+            rng)
         for i in range(g)], np.float32)
 
     # trial estimate from the worst pair (ref:hpp:175-185 semantics)
-    import math
     overlap = opts.overlap_estimation
     denom = math.log(max(1.0 - overlap ** _K_MIN_TRIALS, 1e-300))
     first_estimation = math.log(_K_SMALL_ERROR) / denom if denom else 0.0
     n_trials = max(int(first_estimation / _K_DIAMETER_FRACTION),
                    _K_MIN_TRIALS)
 
-    step, _ = build_step(opts, nq_max, cone_tol)
+    tc = time.perf_counter()
+    step, (k_pairs, k_quads, _) = build_step(opts, nq_max, cone_tol)
     vstep = jax.vmap(step)
+    n_procs = jax.process_count()
 
     if mesh is not None:
         pspec = P(PAIRS_AXIS)
-        vstep = shard_map(
-            vstep, mesh=mesh,
-            in_specs=(pspec,) * 8, out_specs=pspec, check_vma=False)
-    vstep = jax.jit(vstep)
 
-    d = lambda x: jnp.asarray(x, jnp.float32)
+        def spmd(keys, diam, *arrs):
+            local = vstep(keys, diam, *arrs)
+            # replicate the (tiny) per-pair outputs so every process —
+            # including non-coordinators in a multi-host run — reads
+            # them directly (one small all_gather riding ICI/DCN)
+            return jax.tree.map(
+                lambda x: jax.lax.all_gather(x, PAIRS_AXIS, tiled=True),
+                local)
+
+        inner = shard_map(spmd, mesh=mesh,
+                          in_specs=(pspec,) * 8, out_specs=P(),
+                          check_vma=False)
+    else:
+        inner = vstep
+
+    b_per_step = opts.bases_per_step
+
+    def loop_step(key_data, step_i, diam, *arrs):
+        # key derivation lives inside the program: multi-host runs then
+        # only ship a replicated (2,) uint32 key across the boundary
+        key = jax.random.wrap_key_data(key_data)
+        keys = jax.vmap(lambda k: jax.random.split(k, b_per_step))(
+            jax.random.split(jax.random.fold_in(key, step_i), g))
+        return inner(keys, diam, *arrs)
+
+    loop_step = jax.jit(loop_step)
+
+    if mesh is not None and n_procs > 1:
+        # multi-host: every process holds the same full numpy inputs;
+        # assemble global arrays shard-by-shard (pairs axis over DCN)
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(mesh, P(PAIRS_AXIS))
+
+        def d(x):
+            x = np.asarray(x, np.float32)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx])
+    else:
+        d = lambda x: jnp.asarray(x, jnp.float32)
     arrays = (d(p_pos), d(p_norm), d(p_rgb), d(q_pos), d(q_norm), d(q_rgb))
     diam_dev = d(diams)
-    key = jax.random.key(opts.random_seed)
+    key_data = np.asarray(jax.random.key_data(
+        jax.random.key(opts.random_seed)))
 
-    # initial LCP of the identity per pair (ref:hpp:201)
-    init_scores = np.asarray(jax.vmap(
+    # initial LCP of the identity per pair (ref:hpp:201); computed from
+    # the host copies on each process's local devices (identical
+    # everywhere, no collectives). The masked denominator makes sentinel
+    # padding exact here and below.
+    local_q = jnp.asarray(q_pos, jnp.float32)
+    local_p = jnp.asarray(p_pos, jnp.float32)
+    init_scores = np.asarray(jax.jit(jax.vmap(
         lambda qp, pp: lcp.lcp_score_single(
             jnp.eye(4, dtype=jnp.float32), qp, pp, opts.delta)
-    )(arrays[3], arrays[0]))
+    ))(local_q, local_p))
+    compile_seconds = time.perf_counter() - tc
 
     best = {
         "lcp": init_scores.copy(),
@@ -133,42 +227,94 @@ def register_batch(
         "qcentroid2": np.zeros((g, 3), np.float32),
     }
     improved = np.zeros(g, bool)
-
-    t0 = time.perf_counter()
+    counters = {name: np.zeros(g, np.int64) for name in
+                ("pairs_overflow", "quads_overflow", "cands_overflow",
+                 "n_congruent", "cell_dropped")}
     trial = 0
     step_idx = 0
+    if resume_state is not None:
+        trial = int(resume_state["trial"])
+        step_idx = int(resume_state["step_idx"])
+        improved = np.asarray(resume_state["improved"], bool).copy()
+        for name in best:
+            best[name] = np.asarray(resume_state[name],
+                                    np.float32).copy()
+        for name in counters:
+            counters[name] = np.asarray(
+                resume_state["counters"][name], np.int64).copy()
+
+    def global_mats():
+        mats = np.tile(np.eye(4, dtype=np.float32), (g, 1, 1))
+        for i in range(g):
+            if improved[i]:
+                mats[i] = best["transform"][i]
+                rot = mats[i, :3, :3]
+                mats[i, :3, 3] = (best["qcentroid1"][i] + cent_p[i]
+                                  - rot @ (best["qcentroid2"][i]
+                                           + cent_q[i]))
+        return mats
+
+    def visit(fraction):
+        mats = global_mats() if needs_global else best["transform"].copy()
+        visitor(fraction, best["lcp"].copy(), mats)
+
+    visit(0.0)
+    t0 = time.perf_counter()
     while True:
-        keys = jax.vmap(
-            lambda k: jax.random.split(k, opts.bases_per_step))(
-            jax.random.split(jax.random.fold_in(key, step_idx), g))
-        out = vstep(keys, diam_dev, *arrays)
+        out = jax.device_get(loop_step(
+            key_data, jnp.int32(step_idx), diam_dev, *arrays))
         lcps = np.asarray(out["lcp"])
         upd = lcps > best["lcp"]
         improved |= upd
         for name in ("lcp", "transform", "qcentroid1", "qcentroid2"):
             vals = np.asarray(out[name])
             best[name][upd] = vals[upd]
+
+        # same dropped-ITEM accounting as the single-pair matcher,
+        # kept per pair. pair_counts: (G, B, 5) = (c1, c2, qcount,
+        # cell_dropped, pairs_dropped)
+        counts = np.asarray(out["pair_counts"])
+        counters["n_congruent"] += np.asarray(out["n_congruent"])
+        counters["pairs_overflow"] += counts[:, :, 4].sum(axis=1)
+        counters["quads_overflow"] += np.maximum(
+            counts[:, :, 2] - k_quads, 0).sum(axis=1)
+        counters["cell_dropped"] += counts[:, :, 3].sum(axis=1)
+        counters["cands_overflow"] += np.asarray(out["cands_dropped"])
+
         trial += opts.bases_per_step
         step_idx += 1
+        if upd.any():
+            visit(-1.0)
         elapsed = time.perf_counter() - t0
+        if n_procs > 1:
+            # the anytime stop rule must be identical on every process
+            # (a process breaking the loop while another launches the
+            # next collective would deadlock): process 0's clock decides
+            from jax.experimental import multihost_utils
+            elapsed = float(multihost_utils.broadcast_one_to_all(
+                np.float32(elapsed)))
         fraction = max(trial / n_trials, elapsed / opts.max_time_seconds)
+        visit(min(fraction, 1.0))
         if (fraction >= 0.99 or trial > n_trials
                 or (best["lcp"] >= opts.terminate_threshold).all()):
             break
+    search_seconds = time.perf_counter() - t0
 
     # guarded trimmed-ICP polish, vmapped over the pairs axis (same
     # contract as the single-pair matcher: kept only if LCP improves)
     if opts.refine_iterations > 0:
+        # refinement runs on the local host copies (identical on every
+        # process — deterministic, no collectives needed)
         cur = jnp.asarray(best["transform"])
         refined = jax.jit(jax.vmap(
             lambda t, qp, pp: refine.refine_transform(
                 t, qp, pp, opts.delta, iters=opts.refine_iterations)
-        ))(cur, arrays[3], arrays[0])
+        ))(cur, local_q, local_p)
         both = jnp.stack([cur, refined], axis=1)        # (G, 2, 4, 4)
         scores = jax.jit(jax.vmap(
             lambda ts, qp, pp: lcp.lcp_scores(ts, qp, pp, opts.delta,
                                               use_pallas=False)
-        ))(both, arrays[3], arrays[0])
+        ))(both, local_q, local_p)
         scores = np.asarray(scores)
         refined = np.asarray(refined)
         for i in range(g):
@@ -179,6 +325,12 @@ def register_batch(
                 best["qcentroid2"][i] = 0.0
                 improved[i] = True
 
+    batch_state = {
+        "trial": trial, "step_idx": step_idx,
+        "improved": improved.tolist(),
+        "counters": {k: v.tolist() for k, v in counters.items()},
+        **{k: v.tolist() for k, v in best.items()},
+    }
     results = []
     for i in range(g):
         if improved[i]:
@@ -190,8 +342,15 @@ def register_batch(
         else:
             mat = np.eye(4, dtype=np.float32)
             moved = pairs[i][1]
+        stats = {name: int(counters[name][i]) for name in counters}
+        stats.update(
+            compile_seconds=compile_seconds,
+            search_seconds=search_seconds,
+            q_padded=int(nq_max - nq_real[i]),
+            batch_state=batch_state,
+        )
         results.append(RegistrationResult(
             score=float(best["lcp"][i]), transform=mat,
             transformed_q=moved, n_trials=trial,
-            improved=bool(improved[i]), stats={}))
+            improved=bool(improved[i]), stats=stats))
     return results

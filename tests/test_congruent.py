@@ -113,6 +113,69 @@ def test_grid_join_matches_dense(rng):
         assert grid == dense, (len(grid), len(dense))
 
 
+def test_healpix_mode_grid_matches_dense(rng):
+    """direction_bins="healpix" (the IndexedNormalHealSet analog) must
+    keep the grid==dense parity contract — both paths apply the same
+    rasterized pixel-membership mask."""
+    pos = rng.uniform(-1, 1, size=(120, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 300)
+    pairs2 = make_pairs(rng, pos, 300)
+    for thr, cos_alpha in ((0.15, 0.25), (0.3, -0.4)):
+        args = (jnp.asarray(pos),
+                jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+                jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+                0.42, 0.58, thr, cos_alpha, 0.3)
+        kw = dict(direction_bins="healpix", healpix_nside=4,
+                  healpix_samples=32)
+        qd, vd, cd = congruent.find_congruent_quads(
+            *args, capacity=16384, **kw)
+        qg, vg, cg, dropped = congruent.find_congruent_quads_grid(
+            *args, capacity=16384, cell_candidates=64, **kw)
+        dense = {tuple(x) for x, v in zip(np.asarray(qd), np.asarray(vd))
+                 if v}
+        grid = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg))
+                if v}
+        assert int(dropped) == 0
+        assert grid == dense, (len(grid), len(dense))
+        assert len(dense) > 0     # the fixture must actually join
+
+
+def test_healpix_mask_semantics(rng):
+    """The healpix filter keeps exactly the candidates whose direction
+    pixel lies on the rasterized alpha-circle — re-derived here with an
+    independent membership check over the same pixelization."""
+    from super4pcs_tpu.ops import healpix as hp
+
+    pos = rng.uniform(-1, 1, size=(60, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 80)
+    pairs2 = make_pairs(rng, pos, 80)
+    thr, cos_alpha, nside, samples = 0.25, 0.3, 4, 48
+    quads, valid, _ = congruent.find_congruent_quads(
+        jnp.asarray(pos),
+        jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+        jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+        0.5, 0.5, thr, cos_alpha, 0.3, capacity=8192,
+        direction_bins="healpix", healpix_nside=nside,
+        healpix_samples=samples)
+    got = {tuple(q) for q, v in zip(np.asarray(quads), np.asarray(valid))
+           if v}
+
+    d1 = np.asarray(congruent.pair_directions(pos, np.asarray(pairs1)))
+    d2 = np.asarray(congruent.pair_directions(pos, np.asarray(pairs2)))
+    pix1 = np.asarray(hp.vec2pix_ring(nside, d1))
+    circ = np.asarray(congruent.healpix_circle_pixels(
+        d2, cos_alpha, nside, samples))
+    expected = set()
+    for k1, (a, b) in enumerate(np.asarray(pairs1)):
+        e1 = pos[a] + 0.5 * (pos[b] - pos[a])
+        for k2, (c, d) in enumerate(np.asarray(pairs2)):
+            e2 = pos[c] + 0.5 * (pos[d] - pos[c])
+            if (((e1 - e2) ** 2).sum() <= thr * thr
+                    and pix1[k1] in circ[k2]):
+                expected.add((a, b, c, d))
+    assert got == expected
+
+
 def test_grid_join_cell_overflow_counted(rng):
     """Saturating the per-cell cap must be visible in the dropped
     counter, never a silent miss."""

