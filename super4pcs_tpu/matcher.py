@@ -42,7 +42,7 @@ from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
 from .ops import congruent, geometry, lcp, refine, sampling, select
 from .ops.masking import masked_indices
 from .ops.pairs import (PairFilterConfig, extract_pairs,
-                        extract_pairs_blocked)
+                        extract_pairs_rowcap)
 from .utils import Logger, LogLevel
 from .visitor import DummyTransformVisitor, visitor_needs_global
 
@@ -121,12 +121,13 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     b_per_step = opts.bases_per_step
     delta = opts.delta
 
-    # dense (n^2-mask) extraction up to ~2k Q samples; block-scanned
-    # beyond that so per-base memory stays O(block * nq)
+    # dense (n^2-mask) extraction up to ~2k Q samples; per-row-capped
+    # approx-top-k compaction beyond that (memory O(row_block * nq),
+    # ~10x cheaper compaction — see ops/pairs.py extract_pairs_rowcap)
     if nq <= 2048:
         _extract = extract_pairs
     else:
-        _extract = functools.partial(extract_pairs_blocked, block=512)
+        _extract = extract_pairs_rowcap
 
     def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         ids, inv1, inv2, bvalid = select.select_base(
@@ -157,7 +158,9 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
                 q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
                 dist_thr, cos_alpha, cone_tol, k_quads,
                 cell_candidates=opts.cell_candidates,
-                probe_capacity=probe_cap)
+                probe_capacity=probe_cap,
+                direction_bins=opts.direction_bins,
+                healpix_nside=opts.healpix_nside)
         qvalid = qvalid & bvalid
 
         cand = q_pos[quads]                         # (Kq, 4, 3)

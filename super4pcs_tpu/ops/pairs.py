@@ -25,6 +25,21 @@ translation rejections execute ``return`` instead of ``continue``,
 aborting the whole extraction at the first bad pair; the Super4PCS path
 (pairCreationFunctor.h:182-200) applies them per-pair. We implement the
 per-pair semantics for both modes.
+
+Unit-cube normalization (ref:pairCreationFunctor.h:90-122) is
+deliberately NOT reproduced. The reference rescales Q into [0,1]^3
+solely to condition its rasterization grid (fixed-epsilon quantization
+needs unit-range coordinates). Here every predicate is evaluated on raw
+(centroid-centered, ref:hpp:141-149) f32 coordinates and the only
+quantized structure — the congruent join's spatial hash — uses
+``floor(e / cell)`` with cell proportional to delta, which is scale-free
+by construction. Precision analysis: pair distances lose accuracy
+relative to delta only when extent/delta approaches 2^24 (f32 mantissa),
+orders of magnitude beyond any configuration the sampler can resolve
+(delta is also the sampling voxel size, bounding extent/delta by
+~sample_size^(1/3) per axis of occupied cells). Pinned by
+tests/test_matcher.py::test_large_coordinate_extent_robustness (offset
+1e5, extent 1e3).
 """
 
 from __future__ import annotations
@@ -256,3 +271,94 @@ def extract_pairs_blocked(
     blk_dropped = count - captured
     merge_dropped = jnp.maximum(captured - capacity, 0)
     return pairs.astype(jnp.int32), valid, count, blk_dropped + merge_dropped
+
+
+def extract_pairs_rowcap(
+    pos, normal, rgb,
+    base_pos, base_norm, base_rgb,
+    edge0: int, edge1: int,
+    pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    capacity: int,
+    row_cap: int | None = None,
+    row_block: int = 2048,
+    recall_target: float = 0.95,
+):
+    """Large-nq pair extraction via per-row capped top-k compaction.
+
+    The production fast path for nq > 2048 (the role of the reference's
+    sphere-rasterization smart indexing, ref:accelerators/pairExtraction/
+    intersectionFunctor.h:105-233). The mask predicate is cheap on the
+    VPU (~2 ms/base at nq=8192); what dominated the previous designs was
+    *compaction* — a 67M-element prefix sum + binary search per base
+    (~200 ms/base/edge in ``extract_pairs_blocked``). Here each row
+    keeps its first ``row_cap`` hits via ``lax.approx_max_k`` over
+    masked column keys (the TPU-optimized partial reduction; on CPU it
+    lowers to exact top_k), and one small merge compacts the
+    (nq, row_cap) survivors — ~10x faster (196 ms for 16 bases at
+    nq=8192 vs 3.5 s blocked).
+
+    Capping semantics: a row with more than ``row_cap`` hits drops its
+    tail (spread fairly across rows, unlike the global-prefix cap, which
+    starves high row indices), and ``approx_max_k`` at the default
+    recall target may miss ~0.1% of hits at TPU sizes; both losses are
+    counted exactly in ``dropped`` — the "never silently truncate
+    without counting" invariant. Same return contract as
+    :func:`extract_pairs`.
+    """
+    n = pos.shape[0]
+    if row_cap is None:
+        row_cap = min(n, max(32, _round_up_32(4 * capacity // max(n, 1))))
+    b0p, b1p = base_pos[edge0], base_pos[edge1]
+    pair_distance = jnp.linalg.norm(b0p - b1p)
+    pair_normals_angle = jnp.linalg.norm(base_norm[edge0] - base_norm[edge1])
+
+    n_pad = ((n + row_block - 1) // row_block) * row_block
+    pad = n_pad - n
+    pos_p = jnp.concatenate(
+        [pos, jnp.full((pad, 3), 1e18, pos.dtype)]) if pad else pos
+    norm_p = jnp.concatenate(
+        [normal, jnp.zeros((pad, 3), normal.dtype)]) if pad else normal
+    rgb_p = jnp.concatenate(
+        [rgb, jnp.full((pad, 3), -1.0, rgb.dtype)]) if pad else rgb
+    n_blocks = n_pad // row_block
+    neg_col = -jnp.arange(n, dtype=jnp.float32)
+
+    def one_block(_, blk_idx):
+        r0 = blk_idx * row_block
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, r0, row_block)
+        mask = ordered_pair_mask(
+            sl(pos_p), sl(norm_p), sl(rgb_p), pos, normal, rgb,
+            b0p, b1p, base_norm[edge0], base_norm[edge1],
+            base_rgb[edge0], base_rgb[edge1],
+            pair_distance, pair_normals_angle, pair_distance_epsilon,
+            cfg, u_offset=r0)
+        row_ids = r0 + jnp.arange(row_block, dtype=jnp.int32)
+        mask &= (row_ids < n)[:, None]
+        # first row_cap hit columns per row: approx_max_k over -column
+        # keys (descending values == ascending columns)
+        keys = jnp.where(mask, neg_col[None, :], -jnp.inf)
+        vals, cols = jax.lax.approx_max_k(
+            keys, row_cap, recall_target=recall_target)
+        rc = jnp.sum(mask, axis=1, dtype=jnp.int32)
+        return 0, (cols.astype(jnp.int32), vals > -jnp.inf, rc)
+
+    _, (cols, hit, rc) = jax.lax.scan(
+        one_block, 0, jnp.arange(n_blocks, dtype=jnp.int32))
+    cols = cols.reshape(n_pad, row_cap)
+    hit = hit.reshape(n_pad, row_cap)
+    rc = rc.reshape(n_pad)
+
+    sel, valid, _ = masked_indices(hit.reshape(-1), capacity)
+    u = (sel // row_cap).astype(jnp.int32)
+    v = cols.reshape(-1)[sel]
+    pairs = jnp.stack([u, v], axis=-1)
+
+    count = jnp.sum(rc, dtype=jnp.int32)          # exact pre-cap total
+    found = jnp.sum(hit, dtype=jnp.int32)         # survived row caps
+    captured = jnp.minimum(found, capacity)
+    return pairs.astype(jnp.int32), valid, count, count - captured
+
+
+def _round_up_32(x: int) -> int:
+    return ((x + 31) // 32) * 32

@@ -228,3 +228,74 @@ def test_blocked_per_block_drop_counted(rng):
         jnp.asarray(base_pos), jnp.zeros((4, 3)), jnp.full((4, 3), -1.0),
         0, 1, 0.1, cfg, capacity=8192)
     assert int(cd) == count
+
+
+def test_rowcap_matches_dense(rng):
+    """extract_pairs_rowcap (the nq>2048 production path) must produce
+    the same pair set as the dense oracle when no row overflows its cap
+    (on CPU approx_max_k lowers to exact top_k, so parity is exact)."""
+    from super4pcs_tpu.ops.pairs import extract_pairs_rowcap
+    n = 150
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rgb = rng.integers(0, 255, (n, 3)).astype(np.float32)
+    base = pos[:4]
+    base_n = nrm[:4]
+    base_c = rgb[:4]
+    cfgs = [
+        PairFilterConfig(),
+        PairFilterConfig(max_normal_difference=25.0),
+        PairFilterConfig(max_color_distance=120.0),
+        PairFilterConfig(max_angle=120.0),
+        PairFilterConfig(max_normal_difference=30.0,
+                         max_color_distance=150.0,
+                         max_translation_distance=1.5, max_angle=150.0),
+        PairFilterConfig(use_distance_filter=False),
+    ]
+    for cfg in cfgs:
+        args = (jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(rgb),
+                jnp.asarray(base), jnp.asarray(base_n), jnp.asarray(base_c),
+                0, 1, 0.08, cfg)
+        pd, vd, cd, dd = extract_pairs(*args, capacity=16384)
+        pr, vr, cr, dr = extract_pairs_rowcap(
+            *args, capacity=16384, row_cap=n, row_block=64)
+        dense = {tuple(x) for x, v in zip(np.asarray(pd), np.asarray(vd))
+                 if v}
+        rowcap = {tuple(x) for x, v in zip(np.asarray(pr), np.asarray(vr))
+                  if v}
+        assert rowcap == dense, (cfg, len(rowcap), len(dense))
+        assert int(cr) == int(cd)
+        # drops only at the shared global capacity (none per-row here)
+        assert int(dr) == int(dd)
+
+
+def test_rowcap_row_overflow_counted(rng):
+    """A row with more hits than row_cap drops its tail; the drop must
+    be counted exactly (count == captured + dropped), never silent."""
+    from super4pcs_tpu.ops.pairs import extract_pairs_rowcap
+    # point 0 at the origin; 100 points on the unit sphere around it ->
+    # row 0 alone has ~100 hits at pair distance 1
+    n = 128
+    pos = np.zeros((n, 3), np.float32)
+    d = rng.normal(size=(100, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos[1:101] = d
+    pos[101:] = 500.0 + 10.0 * rng.uniform(size=(27, 3)).astype(np.float32)
+    base_pos = np.array([[0, 0, 0], [1, 0, 0],
+                         [0, 0.5, 0], [0.5, 0.5, 0]], np.float32)
+    z = jnp.zeros((n, 3), jnp.float32)
+    neg = jnp.full((n, 3), -1.0, jnp.float32)
+    pairs, valid, count, dropped = extract_pairs_rowcap(
+        jnp.asarray(pos), z, neg,
+        jnp.asarray(base_pos), jnp.zeros((4, 3)), jnp.full((4, 3), -1.0),
+        0, 1, 0.05, PairFilterConfig(), capacity=4096,
+        row_cap=32, row_block=32)
+    count, dropped, captured = int(count), int(dropped), int(valid.sum())
+    assert count < 4096                    # global capacity not exceeded
+    assert dropped > 0                     # ...but row 0 clipped
+    assert captured == count - dropped
+    # the captured subset is itself correct (every pair is a true hit)
+    got = np.asarray(pairs)[np.asarray(valid)]
+    dd = np.linalg.norm(pos[got[:, 0]] - pos[got[:, 1]], axis=1)
+    assert (np.abs(dd - 1.0) <= 0.05).all()
