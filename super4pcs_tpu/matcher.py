@@ -93,10 +93,15 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     # *every* congruent quad (ref:hpp:390-393); undersized buffers
     # silently drop true candidates, so defaults err generous —
     # pair counts scale ~ nq^2 * shell fraction, quad counts with the
-    # invariant-point collision rate (both observed ~5-10 * nq at
-    # reference operating points).
+    # invariant-point collision rate (~5-10 * nq at reference operating
+    # points, but ~200 * nq at fine-delta scale where eps spans many
+    # sample spacings). At large nq the capture ratio directly gates
+    # quality (a base only succeeds when BOTH edges' true counterpart
+    # pairs survive the cap), so the heuristic widens: 64 * nq measured
+    # 3/3 seeds >= 0.97 LCP on the fine-delta 100k config vs flaky
+    # 0.78-0.99 at 16 * nq.
     k_pairs = opts.max_pairs or _round_up(
-        min(nq * nq, max(16 * nq, 512)), 128)
+        min(nq * nq, max((64 if nq > 2048 else 16) * nq, 512)), 128)
     k_quads = _round_up(
         opts.max_quads or min(max(8 * nq, 512), 8192), 128)
     n_cands = min(opts.max_candidates or opts.bases_per_step * k_quads,
@@ -127,7 +132,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     if nq <= 2048:
         _extract = extract_pairs
     else:
-        _extract = extract_pairs_rowcap
+        _extract = functools.partial(extract_pairs_rowcap,
+                                     row_cap=opts.pair_row_cap)
 
     def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         ids, inv1, inv2, bvalid = select.select_base(

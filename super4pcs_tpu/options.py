@@ -69,6 +69,13 @@ class Options:
     #: Cap on candidates LCP-scored per device step. ``None`` scores all
     #: bases_per_step * max_quads candidates (the reference semantics).
     max_candidates: Optional[int] = None
+    #: Per-row hit cap of the large-nq (> 2048) pair extraction
+    #: (ops/pairs.py extract_pairs_rowcap). ``None`` derives
+    #: ~4 * max_pairs / nq. Larger values capture more of each row's
+    #: hits (closer to the reference's keep-everything semantics) at
+    #: ~linear extraction cost; clipped tails are counted in
+    #: stats["pairs_overflow"].
+    pair_row_cap: Optional[int] = None
     #: Cosine tolerance of the Super4PCS pair-direction cone filter. The
     #: reference realizes this filter as a 7^3-bin direction-grid cone
     #: rasterization (ref:accelerators/normalset.hpp:162-210); the bin
