@@ -156,15 +156,12 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
             s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
             s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
 
-        # scale mode disables the pair distance filter, so live probes
-        # are far denser — give the join a bigger probe budget
-        probe_cap = (8 if opts.estimate_scale else 2) * k_quads
         quads, qvalid, qcount, qdropped = \
             congruent.find_congruent_quads_grid(
                 q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
                 dist_thr, cos_alpha, cone_tol, k_quads,
                 cell_candidates=opts.cell_candidates,
-                probe_capacity=probe_cap,
+                q_budget=opts.join_q_budget,
                 direction_bins=opts.direction_bins,
                 healpix_nside=opts.healpix_nside)
         qvalid = qvalid & bvalid
@@ -602,13 +599,16 @@ class Match4PCSBase:
             fraction_try = self._trial / self.number_of_trials
             fraction_time = ((time.perf_counter() - t0)
                              / opts.max_time_seconds)
-            fraction = max(fraction_time, fraction_try)
+            fraction = (fraction_time if opts.use_full_time_budget
+                        else max(fraction_time, fraction_try))
             visitor(min(fraction, 1.0), self._best_lcp,
                     self._visitor_transform(needs_global))
 
-            # stop rules (ref:hpp:255)
+            # stop rules (ref:hpp:255); use_full_time_budget drops the
+            # trial-estimate stop (see Options)
             if (self._best_lcp > opts.terminate_threshold
-                    or self._trial > self.number_of_trials
+                    or (self._trial > self.number_of_trials
+                        and not opts.use_full_time_budget)
                     or fraction >= 0.99
                     or self._best_lcp == 1.0):
                 break

@@ -175,13 +175,6 @@ _CORNER_OFFSETS = np.array(
     dtype=np.int32)
 
 
-def _round_up_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-
 def _cell_hash(cells):
     """int32 spatial hash of (..., 3) integer cell coordinates."""
     return (cells[..., 0] * _HP1) ^ (cells[..., 1] * _HP2) \
@@ -198,7 +191,7 @@ def find_congruent_quads_grid(
     cone_cos_tolerance,
     capacity: int,
     cell_candidates: int = 16,
-    probe_capacity: int | None = None,
+    q_budget: int | None = None,
     direction_bins: str = "cone",
     healpix_nside: int = 4,
     healpix_samples: int = 32,
@@ -217,8 +210,17 @@ def find_congruent_quads_grid(
     (overflow is counted); hash collisions only add candidates that the
     exact mask removes.
 
+    ``q_budget`` bounds how many *valid* second-side pairs are probed
+    per call (default: all up to 8192). The compaction to the budget
+    happens BEFORE the probe expansion, so the searchsorted query
+    volume and the (QB*8, L) candidate gather are independent of the
+    pair-buffer capacity. Since the Q samples are pre-shuffled
+    (ref:match4pcsBase.hpp:129-132), the first ``q_budget`` valid slots
+    are a uniform random subsample of the pair set; skipped pairs are
+    counted in ``dropped`` (x8, in probe units).
+
     Same contract as :func:`find_congruent_quads` (the dense oracle),
-    plus a second returned count of per-cell overflow drops.
+    plus a second returned count of per-cell/budget overflow drops.
 
     Returns (quads, valid, count, dropped).
     """
@@ -229,7 +231,6 @@ def find_congruent_quads_grid(
     L = cell_candidates
 
     e1 = invariant_points(pos, pairs1, invariant1)     # (K1, 3)
-    e2 = invariant_points(pos, pairs2, invariant2)     # (K2, 3)
 
     # hash e1 cells; invalid entries get a sentinel hash kept out of the
     # way by sorting on (valid, hash) pairs
@@ -239,35 +240,34 @@ def find_congruent_quads_grid(
     order = jnp.argsort(h1)
     h1s = h1[order]
 
+    # Q-side budget: compact the first qb valid second-side pairs
+    qb = min(q_budget or 8192, k2)
+    sel2, sel2_valid, n2 = masked_indices(valid2, qb)
+    pairs2b = pairs2[sel2]                                     # (QB, 2)
+    e2 = invariant_points(pos, pairs2b, invariant2)            # (QB, 3)
+
     # 8 corner cells per query
-    base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)   # (K2, 3)
-    probe = base_cell[:, None, :] + jnp.asarray(_CORNER_OFFSETS)  # (K2,8,3)
-    hq = _cell_hash(probe)                                     # (K2, 8)
+    base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)   # (QB, 3)
+    probe = base_cell[:, None, :] + jnp.asarray(_CORNER_OFFSETS)  # (QB,8,3)
+    hq = _cell_hash(probe)                                     # (QB, 8)
 
     # method='sort' lowers to one concatenated sort — the TPU-friendly
     # form (binary-search scans serialize on TPU).
     lo = jnp.searchsorted(h1s, hq.reshape(-1), side='left', method='sort')
     hi = jnp.searchsorted(h1s, hq.reshape(-1), side='right', method='sort')
-    lo = lo.reshape(k2, 8)
-    hi = hi.reshape(k2, 8)
+    lo = lo.reshape(qb, 8)
+    hi = hi.reshape(qb, 8)
 
-    # Probe compaction: the vast majority of the K2*8 probed cells are
-    # empty (grid occupancy ~K1/#cells), so compact the non-empty
-    # (query, cell) hits BEFORE expanding L candidate slots — this cuts
-    # the data-dependent gather volume (the TPU cost driver here) by
-    # roughly the inverse occupancy (~25x at reference operating points).
-    cp = _round_up_pow2(min(probe_capacity or 2 * capacity, k2 * 8))
-    # invalid pairs2 slots are index-clamped to (0,0) and would probe
-    # occupied cells, wasting probe budget and faking drop telemetry
-    counts = jnp.where(valid2[:, None], hi - lo, 0)           # (K2, 8)
-    pidx, pvalid, pcount = masked_indices(
-        (counts > 0).reshape(-1), cp)
-    lo_c = lo.reshape(-1)[pidx]
-    hi_c = hi.reshape(-1)[pidx]
-    qi = pidx // 8                                            # e2 row
+    # invalid slots beyond the live count probe garbage cells; zero them
+    # so they neither emit candidates nor fake drop telemetry
+    counts = jnp.where(sel2_valid[:, None], hi - lo, 0)        # (QB, 8)
+    lo_c = lo.reshape(-1)
+    hi_c = jnp.where(sel2_valid[:, None], hi, lo).reshape(-1)
+    pvalid = jnp.repeat(sel2_valid, 8)
+    qi = jnp.arange(qb * 8, dtype=jnp.int32) // 8              # e2 row
 
-    # up to L sorted-order slots per live probe
-    slot = lo_c[:, None] + jnp.arange(L, dtype=lo.dtype)      # (CP, L)
+    # up to L sorted-order slots per probe
+    slot = lo_c[:, None] + jnp.arange(L, dtype=lo.dtype)      # (QB*8, L)
     in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
     slot = jnp.clip(slot, 0, k1 - 1)
 
@@ -285,30 +285,31 @@ def find_congruent_quads_grid(
     elif use_dir:
         cols.insert(1, pair_directions(pos, pairs1))
     packed = jnp.concatenate(cols, axis=1)[order]             # (K1, 4|5|7)
-    g = packed[slot]                                          # (CP, L, .)
+    g = packed[slot]                                          # (QB*8, L, .)
 
     # exact validation
-    e2_c = e2[qi]                                             # (CP, 3)
+    e2_c = e2[qi]                                             # (QB*8, 3)
     d2 = jnp.sum((g[..., :3] - e2_c[:, None, :]) ** 2, axis=-1)
     mask = in_cell & (d2 <= r * r)
-    mask &= (g[..., -1] > 0) & valid2[qi][:, None]
+    mask &= (g[..., -1] > 0)
 
     if use_healpix:
         circ = healpix_circle_pixels(
-            pair_directions(pos, pairs2), base_cos_alpha,
-            healpix_nside, healpix_samples)                   # (K2, S)
-        pix_cand = g[..., 3].astype(jnp.int32)                # (CP, L)
+            pair_directions(pos, pairs2b), base_cos_alpha,
+            healpix_nside, healpix_samples)                   # (QB, S)
+        pix_cand = g[..., 3].astype(jnp.int32)                # (QB*8, L)
         mask &= _healpix_membership(pix_cand, circ[qi][:, None, :])
     elif use_dir:
-        dir2 = pair_directions(pos, pairs2)
+        dir2 = pair_directions(pos, pairs2b)
         cos12 = jnp.sum(g[..., 3:6] * dir2[qi][:, None, :], axis=-1)
         mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance
 
     sel, valid, count = masked_indices(mask.reshape(-1), capacity)
     q1 = pairs1[order[slot.reshape(-1)[sel]]]
-    q2 = pairs2[qi[sel // L]]
+    q2 = pairs2b[qi[sel // L]]
     quads = jnp.concatenate([q1, q2], axis=-1)
-    # overflow accounting: per-cell cap drops + live probes beyond CP
+    # overflow accounting: per-cell cap drops + pairs beyond the Q
+    # budget (x8, probe units)
     dropped = jnp.sum(jnp.maximum(counts - L, 0), dtype=jnp.int32)
-    dropped += jnp.maximum(pcount - cp, 0)
+    dropped += 8 * jnp.maximum(n2 - qb, 0)
     return quads.astype(jnp.int32), valid, count, dropped

@@ -88,6 +88,12 @@ class Options:
     #: replacement for the reference's pointer grid; overflow beyond the
     #: cap is counted in stats["cell_dropped"]).
     cell_candidates: int = 16
+    #: Second-side pair budget of the grid join: at most this many
+    #: (valid) Q-side pairs are probed per base (``None`` -> all, up to
+    #: 8192). Q samples are pre-shuffled, so the budgeted subset is a
+    #: uniform random subsample; skipped pairs are counted in
+    #: stats["cell_dropped"] (x8, probe units).
+    join_q_budget: Optional[int] = None
     #: Direction filter of the Super4PCS congruent join: "cone" (exact
     #: dot-product mask, the default) or "healpix" (rasterized
     #: ring-scheme pixel bins — the reference's deprecated
@@ -122,6 +128,14 @@ class Options:
     #: the overlap region. ``None`` keeps the reference semantics (all
     #: voxel-sampled P points, ref:match4pcsBase.hpp:112-127).
     p_sample_budget: Optional[int] = None
+    #: Stop rule. The reference stops when EITHER budget (trial estimate
+    #: or wall clock) is exhausted (fraction = max(time, trials) >= 0.99,
+    #: ref:match4pcsBase.hpp:239-255) — often leaving most of an
+    #: explicit time budget unused once the trial estimate is hit. True
+    #: keeps searching until the wall-clock budget or the terminate
+    #: threshold is reached (fraction = time only) — recommended for
+    #: hard/low-capture configs where the trial estimate undershoots.
+    use_full_time_budget: bool = False
     #: Measure a per-phase breakdown of the device step (select/extract,
     #: join, fit, verify) by timing telescoped sub-programs once after
     #: compile — the TPU analog of the reference's TEST_GLOBAL_TIMINGS

@@ -293,9 +293,12 @@ def register_batch(
             from jax.experimental import multihost_utils
             elapsed = float(multihost_utils.broadcast_one_to_all(
                 np.float32(elapsed)))
-        fraction = max(trial / n_trials, elapsed / opts.max_time_seconds)
+        fraction_time = elapsed / opts.max_time_seconds
+        fraction = (fraction_time if opts.use_full_time_budget
+                    else max(trial / n_trials, fraction_time))
         visit(min(fraction, 1.0))
-        if (fraction >= 0.99 or trial > n_trials
+        if (fraction >= 0.99
+                or (trial > n_trials and not opts.use_full_time_budget)
                 or (best["lcp"] >= opts.terminate_threshold).all()):
             break
     search_seconds = time.perf_counter() - t0

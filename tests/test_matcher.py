@@ -156,6 +156,30 @@ def test_anytime_budget(rng):
     assert res.n_trials < matcher.number_of_trials
 
 
+def test_use_full_time_budget_outlives_trial_estimate(rng):
+    """With use_full_time_budget the search keeps going past the
+    reference trial estimate until the wall-clock budget (or terminate
+    threshold) is hit."""
+    pos = bumpy_cloud(rng, 150)
+    opts = Options(delta=0.05, sample_size=100, max_time_seconds=6,
+                   bases_per_step=4, max_quads=256, max_candidates=256,
+                   refine_iterations=0, use_full_time_budget=True,
+                   random_seed=3).configure_overlap(0.9, 0.9999)
+    # register against a rotated copy so LCP 1.0 never triggers the stop
+    theta = 2.0
+    rot = np.array([[np.cos(theta), -np.sin(theta), 0],
+                    [np.sin(theta), np.cos(theta), 0],
+                    [0, 0, 1]], np.float32)
+    m = MatchSuper4PCS(opts)
+    res = m.compute_transformation(
+        PointCloud(pos=pos),
+        PointCloud(pos=(pos @ rot.T + 2.0).astype(np.float32)))
+    # overlap 0.9 -> tiny trial estimate; the flag must outlive it
+    assert m.number_of_trials < 40
+    assert (res.n_trials > m.number_of_trials
+            or res.score > 0.9999)
+
+
 def test_state_export(rng, make_transform):
     res, mat, pos, q = run_registration(MatchSuper4PCS, rng, make_transform,
                                         n=200)
