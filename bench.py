@@ -1,19 +1,26 @@
-"""Round benchmark: hippo time-to-align on the real TPU.
+"""Round benchmark: north-star-scale registration on the real TPU.
 
-Config 1 of BASELINE.md — the reference's headline demo
-(``scripts/run-example.sh``: hippo1.obj <- hippo2.obj with
-``-o 0.7 -d 0.01 -t 1000 -n 200``; documented reference result LCP
-0.748792). Metric: wall-clock search seconds (excluding one-time XLA
-compilation, which the jit cache amortizes) until the anytime loop
-stops with LCP >= 0.7.
+Headline metric (BASELINE.json north star, "200k-point scan pairs
+>=10x faster than CPU Super4PCS at equal-or-better LCP"): time-to-
+LCP>=0.7 on the fine-delta 100k-point pair (delta 0.01, n=8192,
+noise sigma = 0.002).
 
-vs_baseline: the reference publishes no absolute wall times and its C++
-tree cannot be built here (vendored Eigen submodule is empty, zero
-egress), so the baseline anchor is the reference CLI's own default
-anytime budget of 10 s (ref:demos/demo-utils.h:100) — the time the
-reference grants itself for this task. vs_baseline = 10.0 / measured_s
-(>1 means faster than the reference's budget). BASELINE.md records
-this choice.
+vs_baseline is MEASURED (round 2): ``baselines/cpu_super4pcs.cc`` — an
+algorithmically faithful serial C++ implementation of the reference
+pipeline (the reference tree itself cannot compile here: empty vendored
+Eigen, zero egress; single-threaded is fair because MatchSuper4PCS
+forces 1 thread, ref:super4pcs.cc:70-73) — ran this exact config on
+this machine's CPU: **3 trials in 560 s, best LCP 0.594, target 0.7 not
+reached** (seed 5, g++ -O3 -march=native). 560 s is therefore a LOWER
+bound on CPU time-to-target, and vs_baseline = 560 / measured_s is a
+lower bound on the true speedup.
+
+Context fields record the hippo quality-parity config (reference's own
+demo: documented LCP 0.748792) and its measured CPU baseline. Honest
+note, recorded in BASELINE.md: at hippo's toy scale (200 Q samples) the
+serial CPU solves time-to-0.7 in 0.01-0.7 s — faster than any
+accelerator can amortize dispatch; the TPU win is at scale, which is
+what the north star asks for.
 
 Prints exactly one JSON line.
 """
@@ -24,8 +31,26 @@ import sys
 
 HIPPO1 = "/root/reference/assets/hippo1.obj"
 HIPPO2 = "/root/reference/assets/hippo2.obj"
-BASELINE_BUDGET_S = 10.0
+# measured lower bound, baselines/cpu_super4pcs.cc on this machine (r2)
+CPU_BASELINE_FLOOR_S = 560.0
 TARGET_LCP = 0.70
+
+
+def fine_delta_pair():
+    import numpy as np
+    rng = np.random.default_rng(0)
+    n = 100_000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    bump = (1 + 0.3 * np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
+            + 0.2 * np.sin(4 * v[:, 2]))
+    pos = (v * bump[:, None]).astype(np.float32)
+    th = 0.8
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    q = (pos @ rot.T + np.float32([0.1, -0.05, 0.2])).astype(np.float32)
+    q += rng.normal(scale=0.002, size=q.shape).astype(np.float32)
+    return pos, q
 
 
 def main():
@@ -33,40 +58,47 @@ def main():
     from super4pcs_tpu import MatchSuper4PCS, Options, PointCloud
     from super4pcs_tpu.io import read_object
 
+    # --- headline: north-star scale (100k points, fine delta) ---
+    pos, q = fine_delta_pair()
+    opts = (Options(delta=0.01, sample_size=8192, max_time_seconds=120,
+                    random_seed=5)
+            .configure_overlap(TARGET_LCP, terminate_threshold=TARGET_LCP))
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    search_s = res.stats.get("search_seconds", float("nan"))
+
+    # --- context: hippo quality parity (reference demo config) ---
+    hippo = {}
     if os.path.exists(HIPPO1):
         set1, _ = read_object(HIPPO1)
         set2, _ = read_object(HIPPO2)
-    else:  # fallback: synthetic pair of comparable size
-        rng = np.random.default_rng(0)
-        v = rng.normal(size=(30000, 3))
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
-        bump = 1 + 0.3 * np.sin(5 * v[:, 0]) + 0.2 * np.sin(4 * v[:, 2])
-        pos = (0.15 * v * bump[:, None]).astype(np.float32)
-        ang = 0.9
-        rot = np.array([[np.cos(ang), -np.sin(ang), 0],
-                        [np.sin(ang), np.cos(ang), 0],
-                        [0, 0, 1]], np.float32)
-        set1 = PointCloud(pos=pos)
-        set2 = PointCloud(pos=(pos - np.float32([.05, .02, .01])) @ rot)
+        hopts = (Options(delta=0.01, sample_size=200, max_time_seconds=1000)
+                 .configure_overlap(TARGET_LCP,
+                                    terminate_threshold=TARGET_LCP))
+        hres = MatchSuper4PCS(hopts).compute_transformation(set1, set2)
+        hippo = {
+            "hippo_lcp": round(hres.score, 4),
+            "hippo_reference_lcp": 0.748792,
+            "hippo_search_s": round(
+                hres.stats.get("search_seconds", float("nan")), 3),
+            # measured serial-CPU hippo time-to-0.7 (5 seeds, r2):
+            # 0.01-0.67 s — small configs don't amortize accelerator
+            # dispatch; see BASELINE.md
+            "hippo_cpu_baseline_s": "0.01-0.67 (CPU wins at toy scale)",
+        }
 
-    # config 1: -o 0.7 -d 0.01 -t 1000 -n 200; stop at LCP >= 0.7
-    opts = (Options(delta=0.01, sample_size=200, max_time_seconds=1000)
-            .configure_overlap(TARGET_LCP, terminate_threshold=TARGET_LCP))
-
-    matcher = MatchSuper4PCS(opts)
-    result = matcher.compute_transformation(set1, set2)
-
-    search_s = result.stats.get("search_seconds", float("nan"))
     out = {
-        "metric": "hippo_time_to_lcp0.7_s",
+        "metric": "fine100k_time_to_lcp0.7_s",
         "value": round(float(search_s), 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_BUDGET_S / max(search_s, 1e-9), 2),
-        # context for the record (judge-visible, not part of the contract)
-        "lcp": round(result.score, 4),
-        "reference_lcp": 0.748792,
-        "trials": result.n_trials,
-        "compile_s": round(result.stats.get("compile_seconds", 0.0), 1),
+        # lower bound: the CPU baseline had not reached the target when
+        # stopped at 560 s (LCP 0.594)
+        "vs_baseline": round(CPU_BASELINE_FLOOR_S / max(search_s, 1e-9), 1),
+        "lcp": round(res.score, 4),
+        "trials": res.n_trials,
+        "compile_s": round(res.stats.get("compile_seconds", 0.0), 1),
+        "baseline": "cpu_super4pcs_serial DNF@560s lcp=0.594 (measured)",
+        **hippo,
     }
     print(json.dumps(out))
     return 0
