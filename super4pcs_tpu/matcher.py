@@ -130,7 +130,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     # approx-top-k compaction beyond that (memory O(row_block * nq),
     # ~10x cheaper compaction — see ops/pairs.py extract_pairs_rowcap)
     if nq <= 2048:
-        _extract = extract_pairs
+        def _extract(*a, col_offset=None, **kw):
+            return extract_pairs(*a, **kw)
     else:
         _extract = functools.partial(extract_pairs_rowcap,
                                      row_cap=opts.pair_row_cap)
@@ -142,12 +143,16 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
         base_norm = p_norm[ids]
         base_rgb = p_rgb[ids]
 
+        # per-base column rotation decorrelates the row-cap capture
+        # lottery across trials (see extract_pairs_rowcap)
+        off = jax.random.randint(jax.random.fold_in(key, 7919), (),
+                                 0, q_pos.shape[0])
         pairs1, v1, c1, d1 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-            0, 1, eps_pairs, cfg, k_pairs)
+            0, 1, eps_pairs, cfg, k_pairs, col_offset=off)
         pairs2, v2, c2, d2 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-            2, 3, eps_pairs, cfg, k_pairs)
+            2, 3, eps_pairs, cfg, k_pairs, col_offset=off)
 
         # angle between the two base segments (ref:super4pcs.cc:109-111)
         s1 = base_pos[1] - base_pos[0]

@@ -283,6 +283,7 @@ def extract_pairs_rowcap(
     row_cap: int | None = None,
     row_block: int = 2048,
     recall_target: float = 0.95,
+    col_offset=None,
 ):
     """Large-nq pair extraction via per-row capped top-k compaction.
 
@@ -305,6 +306,13 @@ def extract_pairs_rowcap(
     counted exactly in ``dropped`` — the "never silently truncate
     without counting" invariant. Same return contract as
     :func:`extract_pairs`.
+
+    ``col_offset`` (traced scalar) rotates the per-row keep preference:
+    a row keeps its first ``row_cap`` hits in column order starting at
+    ``col_offset`` (wrapping). Passing a per-base random offset
+    decorrelates the capture lottery across RANSAC trials — without it
+    every base keeps the same low-column subset, so a true pair outside
+    it is lost for the whole run.
     """
     n = pos.shape[0]
     if row_cap is None:
@@ -326,7 +334,12 @@ def extract_pairs_rowcap(
     rgb_p = jnp.concatenate(
         [rgb, jnp.full((pad, 3), -1.0, rgb.dtype)]) if pad else rgb
     n_blocks = n_pad // row_block
-    neg_col = -jnp.arange(n, dtype=jnp.float32)
+    col = jnp.arange(n, dtype=jnp.int32)
+    if col_offset is not None:
+        rank = jnp.mod(col - jnp.asarray(col_offset, jnp.int32), n)
+    else:
+        rank = col
+    neg_rank = -rank.astype(jnp.float32)
 
     def one_block(_, blk_idx):
         r0 = blk_idx * row_block
@@ -339,9 +352,10 @@ def extract_pairs_rowcap(
             cfg, u_offset=r0)
         row_ids = r0 + jnp.arange(row_block, dtype=jnp.int32)
         mask &= (row_ids < n)[:, None]
-        # first row_cap hit columns per row: approx_max_k over -column
-        # keys (descending values == ascending columns)
-        keys = jnp.where(mask, neg_col[None, :], -jnp.inf)
+        # first row_cap hit columns per row (in rotated rank order):
+        # approx_max_k over -rank keys (descending values == ascending
+        # ranks)
+        keys = jnp.where(mask, neg_rank[None, :], -jnp.inf)
         vals, cols = jax.lax.approx_max_k(
             keys, row_cap, recall_target=recall_target)
         rc = jnp.sum(mask, axis=1, dtype=jnp.int32)

@@ -299,3 +299,41 @@ def test_rowcap_row_overflow_counted(rng):
     got = np.asarray(pairs)[np.asarray(valid)]
     dd = np.linalg.norm(pos[got[:, 0]] - pos[got[:, 1]], axis=1)
     assert (np.abs(dd - 1.0) <= 0.05).all()
+
+
+def test_rowcap_col_offset(rng):
+    """col_offset rotates the per-row keep preference: with ample cap
+    the pair *set* is unchanged for any offset; under cap pressure
+    different offsets capture different (all-true) subsets, which is the
+    decorrelation the matcher relies on across RANSAC trials."""
+    from super4pcs_tpu.ops.pairs import extract_pairs_rowcap
+    n = 128
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    z = jnp.zeros((n, 3), jnp.float32)
+    neg = jnp.full((n, 3), -1.0, jnp.float32)
+    base = (jnp.asarray(pos[:4]), jnp.zeros((4, 3)),
+            jnp.full((4, 3), -1.0))
+    args = (jnp.asarray(pos), z, neg, *base, 0, 1, 0.3,
+            PairFilterConfig())
+
+    def pairset(**kw):
+        p, v, c, d = extract_pairs_rowcap(*args, capacity=16384,
+                                          row_block=64, **kw)
+        return ({tuple(x) for x, ok in zip(np.asarray(p), np.asarray(v))
+                 if ok}, int(c), int(d))
+
+    # ample row_cap: any rotation keeps the identical set, zero drops
+    s0, c0, d0 = pairset(row_cap=n)
+    for off in (0, 1, 37, n - 1):
+        s, c, d = pairset(row_cap=n, col_offset=jnp.int32(off))
+        assert s == s0 and c == c0 and d == d0 == 0
+
+    # tight row_cap: rotations capture *different* true subsets
+    subsets = [pairset(row_cap=4, col_offset=jnp.int32(off))[0]
+               for off in (0, 31, 67, 101)]
+    assert any(a != b for a in subsets for b in subsets if a is not b)
+    pd = np.linalg.norm(pos[1] - pos[0])  # base segment 0-1 length
+    for s in subsets:
+        got = np.array(sorted(s))
+        dd = np.linalg.norm(pos[got[:, 0]] - pos[got[:, 1]], axis=1)
+        assert (np.abs(dd - pd) <= 0.3).all()  # |d - pair_dist| <= eps
