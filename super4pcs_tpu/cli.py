@@ -18,10 +18,20 @@ Flags:
   -m file             output: 4x4 transform, Polyworks format
   -x                  use the quadratic 4PCS instead of Super4PCS
   --sampled1/2 file   export the sampled working clouds
+
+TPU-only extension (not in the reference CLI; reference flags and
+semantics are untouched):
+  --tpu-opts k=v[,k=v...]   set TPU tuning knobs on Options, e.g.
+                      --tpu-opts bases_per_step=32,pair_row_cap=96,
+                      use_full_time_budget=true,direction_bins=healpix
+                      Keys are the TPU-capacity/tuning fields of
+                      options.Options (see TPU_OPT_KEYS); values are
+                      parsed by field type ("none" clears an optional).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 
 import numpy as np
@@ -34,6 +44,54 @@ from .utils import Logger, LogLevel
 from .visitor import PrintingTransformVisitor
 
 DEFAULT_OBJ_OUTPUT = "output.obj"   # ref:demo-utils.h:65
+
+#: Options fields settable via ``--tpu-opts`` — the TPU tuning surface
+#: only; reference-CLI parameters keep their dedicated flags.
+TPU_OPT_KEYS = frozenset({
+    "bases_per_step", "max_pairs", "max_quads", "max_candidates",
+    "pair_row_cap", "cone_cos_tolerance", "n_triangle_trials",
+    "cell_candidates", "join_q_budget", "direction_bins",
+    "healpix_nside", "refine_iterations", "verify_top_k", "coarse_q",
+    "coarse_p", "p_sample_budget", "use_full_time_budget",
+    "phase_timing", "random_seed", "estimate_scale",
+})
+
+_OPT_TYPES = {f.name: f.type for f in dataclasses.fields(Options)}
+
+
+def parse_tpu_opts(spec: str) -> dict:
+    """Parse ``k=v,k=v`` into typed Options overrides.
+
+    Types come from the Options dataclass fields: bools accept
+    true/false/1/0, ``Optional[int]`` accepts an int or ``none``.
+    Raises ValueError on unknown keys or unparsable values.
+    """
+    out = {}
+    for item in spec.split(","):
+        item = item.strip()
+        if not item:
+            continue
+        key, sep, val = item.partition("=")
+        key = key.strip()
+        val = val.strip()
+        if not sep or key not in TPU_OPT_KEYS:
+            raise ValueError(f"unknown --tpu-opts key: {key!r}")
+        ftype = str(_OPT_TYPES[key])
+        if val.lower() == "none":
+            if "Optional" not in ftype:
+                raise ValueError(f"{key} is not optional")
+            out[key] = None
+        elif "bool" in ftype:
+            if val.lower() not in ("true", "false", "1", "0"):
+                raise ValueError(f"bad bool for {key}: {val!r}")
+            out[key] = val.lower() in ("true", "1")
+        elif "int" in ftype:
+            out[key] = int(val)
+        elif "float" in ftype:
+            out[key] = float(val)
+        else:                                   # str (direction_bins)
+            out[key] = val
+    return out
 
 
 class Args:
@@ -54,6 +112,7 @@ class Args:
         self.norm_diff = -1.0
         self.max_time_seconds = 10
         self.use_super4pcs = True
+        self.tpu_opts = {}
 
 
 def print_parameter_list(a: Args, file=sys.stderr):
@@ -104,6 +163,8 @@ def get_args(argv, a: Args) -> int:
                 a.sampled1 = argv[i + 1]; i += 1
             elif arg == "--sampled2":
                 a.sampled2 = argv[i + 1]; i += 1
+            elif arg == "--tpu-opts":
+                a.tpu_opts = parse_tpu_opts(argv[i + 1]); i += 1
             elif arg == "-h":
                 return 1
             elif arg.startswith("-"):
@@ -137,6 +198,7 @@ def options_from_args(a: Args, logger: Logger) -> Options:
         max_color_distance=a.max_color,
         max_time_seconds=a.max_time_seconds,
         delta=a.delta,
+        **a.tpu_opts,
     )
 
 

@@ -101,3 +101,36 @@ def test_invalid_flag_value_no_traceback():
     Python traceback."""
     rc = cli.main(["super4pcs", "-i", "a.ply", "b.ply", "-o", "abc"])
     assert rc == 0   # same path as unknown flag (ref exits max(c,0))
+
+
+def test_tpu_opts_parsing():
+    """--tpu-opts spec parses by Options field type; unknown keys and
+    bad values raise (routed through the usage path by get_args)."""
+    got = cli.parse_tpu_opts(
+        "bases_per_step=32, pair_row_cap=96,use_full_time_budget=true,"
+        "direction_bins=healpix,join_q_budget=none,"
+        "cone_cos_tolerance=0.25")
+    assert got == {"bases_per_step": 32, "pair_row_cap": 96,
+                   "use_full_time_budget": True,
+                   "direction_bins": "healpix", "join_q_budget": None,
+                   "cone_cos_tolerance": 0.25}
+    for bad in ("delta=1",            # reference flag, not a TPU knob
+                "nope=3", "bases_per_step", "phase_timing=maybe",
+                "bases_per_step=none"):
+        with pytest.raises(ValueError):
+            cli.parse_tpu_opts(bad)
+    # bad spec exits through the usage path, no traceback
+    rc = cli.main(["super4pcs", "-i", "a.ply", "b.ply",
+                   "--tpu-opts", "delta=1"])
+    assert rc == 0
+
+
+def test_tpu_opts_end_to_end(tmp_path, rng, capsys):
+    """Knobs set via --tpu-opts reach the matcher Options."""
+    p1, p2, _ = make_cloud_files(tmp_path, rng, n=80)
+    rc = cli.main(["super4pcs", "-i", p1, p2,
+                   "-o", "0.9", "-d", "0.05", "-n", "80", "-t", "15",
+                   "-m", str(tmp_path / "m.txt"),
+                   "--tpu-opts", "bases_per_step=8,random_seed=3"])
+    assert rc == 0
+    assert "Score:" in capsys.readouterr().out
