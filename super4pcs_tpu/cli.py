@@ -49,7 +49,8 @@ DEFAULT_OBJ_OUTPUT = "output.obj"   # ref:demo-utils.h:65
 #: only; reference-CLI parameters keep their dedicated flags.
 TPU_OPT_KEYS = frozenset({
     "bases_per_step", "max_pairs", "max_quads", "max_candidates",
-    "pair_row_cap", "cone_cos_tolerance", "n_triangle_trials",
+    "pair_row_cap", "pair_recall_target", "cone_cos_tolerance",
+    "n_triangle_trials",
     "cell_candidates", "join_q_budget", "direction_bins",
     "healpix_nside", "refine_iterations", "verify_top_k", "coarse_q",
     "coarse_p", "p_sample_budget", "use_full_time_budget",

@@ -134,7 +134,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
             return extract_pairs(*a, **kw)
     else:
         _extract = functools.partial(extract_pairs_rowcap,
-                                     row_cap=opts.pair_row_cap)
+                                     row_cap=opts.pair_row_cap,
+                                     recall_target=opts.pair_recall_target)
 
     def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         ids, inv1, inv2, bvalid = select.select_base(

@@ -35,6 +35,7 @@ unaffected. Divergence decided per SURVEY.md §3.3/§7 hard-part (d).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -252,11 +253,18 @@ def find_congruent_quads_grid(
     hq = _cell_hash(probe)                                     # (QB, 8)
 
     # method='sort' lowers to one concatenated sort — the TPU-friendly
-    # form (binary-search scans serialize on TPU).
-    lo = jnp.searchsorted(h1s, hq.reshape(-1), side='left', method='sort')
-    hi = jnp.searchsorted(h1s, hq.reshape(-1), side='right', method='sort')
-    lo = lo.reshape(qb, 8)
-    hi = hi.reshape(qb, 8)
+    # form (binary-search scans serialize on TPU). One call finds both
+    # range ends: for integer keys, side='right' of h equals side='left'
+    # of h+1, so querying [hq, hq+1] halves the sort count (measured
+    # ~1.4x less searchsorted volume). Caveat: a cell hashing exactly to
+    # INT32_MAX wraps to an empty range — that hash already collides
+    # with the invalid-entry sentinel today, so nothing new is lost.
+    hq_flat = hq.reshape(-1)
+    both = jnp.searchsorted(
+        h1s, jnp.concatenate([hq_flat, hq_flat + 1]),
+        side='left', method='sort')
+    lo = both[:hq_flat.shape[0]].reshape(qb, 8)
+    hi = both[hq_flat.shape[0]:].reshape(qb, 8)
 
     # invalid slots beyond the live count probe garbage cells; zero them
     # so they neither emit candidates nor fake drop telemetry
@@ -269,7 +277,6 @@ def find_congruent_quads_grid(
     # up to L sorted-order slots per probe
     slot = lo_c[:, None] + jnp.arange(L, dtype=lo.dtype)      # (QB*8, L)
     in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
-    slot = jnp.clip(slot, 0, k1 - 1)
 
     # one packed gather instead of three: [e1 | dir-filter cols | valid]
     # rows, pre-sorted into hash order so ``slot`` indexes them directly.
@@ -285,7 +292,15 @@ def find_congruent_quads_grid(
     elif use_dir:
         cols.insert(1, pair_directions(pos, pairs1))
     packed = jnp.concatenate(cols, axis=1)[order]             # (K1, 4|5|7)
-    g = packed[slot]                                          # (QB*8, L, .)
+    # L sentinel rows (never-valid) so every [lo, lo+L) block slice is
+    # in-bounds: one contiguous L-row slice per probe is ~10x cheaper on
+    # TPU than L independent row gathers (slot is still used for the
+    # in_cell bound above; slices never clamp, so rows == slots).
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((L, packed.shape[1]), packed.dtype)])
+    g = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(packed, s, L))(
+        jnp.minimum(lo_c, k1))                                # (QB*8, L, .)
 
     # exact validation
     e2_c = e2[qi]                                             # (QB*8, 3)

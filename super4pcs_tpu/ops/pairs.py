@@ -142,13 +142,32 @@ def ordered_pair_mask(
     """
     bu = pos_u.shape[0]
     n = pos.shape[0]
-    diff = pos[None, :, :] - pos_u[:, None, :]       # [u, v] = q_v - q_u
-    dist = jnp.linalg.norm(diff, axis=-1)
+    # the (bu, n, 3) difference tensor (and the sqrt) is only needed by
+    # the emission-direction filter; the distance band alone is cheaper
+    # as a squared-distance band |q_u|^2 + |q_v|^2 - 2 q_u.q_v in
+    # [lo^2, hi^2] — no 3-wide broadcast, no sqrt. f32 cancellation is
+    # harmless here: the band edge is 2*d*eps wide in d^2 units while
+    # the rounding error is ~1e-7 * extent^2, orders below it for any
+    # extent/delta the sampler can resolve (see module docstring;
+    # pinned by test_large_coordinate_extent_robustness).
+    need_dirs = cfg.max_angle > 0
+    if need_dirs:
+        diff = pos[None, :, :] - pos_u[:, None, :]   # [u, v] = q_v - q_u
+        dist = jnp.linalg.norm(diff, axis=-1)
 
     u_ids = u_offset + jnp.arange(bu, dtype=jnp.int32)
     mask = u_ids[:, None] != jnp.arange(n, dtype=jnp.int32)[None, :]
     if cfg.use_distance_filter:
-        mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
+        if need_dirs:
+            mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
+        else:
+            d2 = (jnp.sum(pos_u * pos_u, -1)[:, None]
+                  + jnp.sum(pos * pos, -1)[None, :]
+                  - 2.0 * jnp.einsum('ud,vd->uv', pos_u, pos,
+                                     precision='highest'))
+            lo = jnp.maximum(pair_distance - pair_distance_epsilon, 0.0)
+            hi = pair_distance + pair_distance_epsilon
+            mask &= (d2 >= lo * lo) & (d2 <= hi * hi)
 
     if cfg.max_normal_difference > 0:
         nsq_u = jnp.sum(normal_u * normal_u, axis=-1)
@@ -367,13 +386,27 @@ def extract_pairs_rowcap(
     hit = hit.reshape(n_pad, row_cap)
     rc = rc.reshape(n_pad)
 
-    sel, valid, _ = masked_indices(hit.reshape(-1), capacity)
-    u = (sel // row_cap).astype(jnp.int32)
-    v = cols.reshape(-1)[sel]
-    pairs = jnp.stack([u, v], axis=-1)
+    # Merge exploiting approx_max_k's output layout: each row's hits
+    # occupy its FIRST cap_r slots (finite keys sort before -inf), so
+    # global compaction is pure index arithmetic — row offsets from an
+    # n_pad-element cumsum, slot->row by binary search over that small
+    # table. Replaces a (n_pad*row_cap)-element cumsum+scatter
+    # (masked_indices) that dominated extraction time; outputs are
+    # bit-identical (row-major, within-row approx_max_k order).
+    cap_r = jnp.sum(hit, axis=1, dtype=jnp.int32)          # (n_pad,)
+    off_incl = jnp.cumsum(cap_r, dtype=jnp.int32)
+    found = off_incl[-1]
+    s = jnp.arange(capacity, dtype=jnp.int32)
+    valid = s < jnp.minimum(found, capacity)
+    r = jnp.searchsorted(off_incl, s + 1, side='left', method='scan')
+    r = jnp.where(valid, r, 0).astype(jnp.int32)
+    j = s - (off_incl[r] - cap_r[r])
+    j = jnp.where(valid, j, 0)
+    v = cols[r, j]
+    pairs = jnp.stack([jnp.where(valid, r, 0), jnp.where(valid, v, 0)],
+                      axis=-1)
 
     count = jnp.sum(rc, dtype=jnp.int32)          # exact pre-cap total
-    found = jnp.sum(hit, dtype=jnp.int32)         # survived row caps
     captured = jnp.minimum(found, capacity)
     return pairs.astype(jnp.int32), valid, count, count - captured
 

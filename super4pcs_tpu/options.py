@@ -76,6 +76,13 @@ class Options:
     #: ~linear extraction cost; clipped tails are counted in
     #: stats["pairs_overflow"].
     pair_row_cap: Optional[int] = None
+    #: approx_max_k recall target of the row-capped extraction's per-row
+    #: compaction (nq > 2048 path). The TPU partial-reduction cost falls
+    #: steeply with the target (0.95 -> 0.85 measured 6x cheaper at
+    #: nq=8192, k=160); missed hits are uniformly spread, counted in
+    #: stats["pairs_overflow"], and decorrelated across trials by the
+    #: per-base column rotation. On CPU the op is exact regardless.
+    pair_recall_target: float = 0.9
     #: Cosine tolerance of the Super4PCS pair-direction cone filter. The
     #: reference realizes this filter as a 7^3-bin direction-grid cone
     #: rasterization (ref:accelerators/normalset.hpp:162-210); the bin
