@@ -398,9 +398,19 @@ def extract_pairs_rowcap(
     found = off_incl[-1]
     s = jnp.arange(capacity, dtype=jnp.int32)
     valid = s < jnp.minimum(found, capacity)
-    r = jnp.searchsorted(off_incl, s + 1, side='left', method='scan')
-    r = jnp.where(valid, r, 0).astype(jnp.int32)
-    j = s - (off_incl[r] - cap_r[r])
+    # slot -> row: scatter each non-empty row's index at its start
+    # offset, then a running max fills the gaps. (A binary search per
+    # slot — searchsorted method='scan' — is 13 serial gather rounds on
+    # TPU and measured 4x slower than the whole old scatter merge.)
+    off_excl = off_incl - cap_r
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    tgt = jnp.where((cap_r > 0) & (off_excl < capacity), off_excl,
+                    capacity)
+    starts = jnp.zeros(capacity + 1, jnp.int32).at[tgt].max(
+        rows, mode="drop")
+    r = jax.lax.cummax(starts[:capacity])
+    r = jnp.where(valid, r, 0)
+    j = s - off_excl[r]
     j = jnp.where(valid, j, 0)
     v = cols[r, j]
     pairs = jnp.stack([jnp.where(valid, r, 0), jnp.where(valid, v, 0)],

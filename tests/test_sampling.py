@@ -26,6 +26,15 @@ def test_matches_oracle(rng):
     np.testing.assert_array_equal(idx, expected)
 
 
+def test_matches_oracle_huge_extent(rng):
+    """Cell spans beyond the 21-bit packing range take the row-wise
+    fallback; semantics must not change at the switch."""
+    pos = (rng.uniform(-1, 1, size=(300, 3)) * 1e6).astype(np.float32)
+    idx = sampling.voxel_indices(pos, 0.25)   # span ~8e6 cells per axis
+    expected = oracle_first_per_voxel(pos, 0.25)
+    np.testing.assert_array_equal(idx, expected)
+
+
 def test_one_point_per_voxel(rng):
     pos = rng.uniform(0, 1, size=(1000, 3)).astype(np.float32)
     out = sampling.uniform_dist_sample(PointCloud(pos=pos), 0.2)
