@@ -238,12 +238,39 @@ def find_congruent_quads_grid(
     e1 = a1 + invariant1 * (b1 - a1)                   # (K1, 3)
 
     # hash e1 cells; invalid entries get a sentinel hash kept out of the
-    # way by sorting on (valid, hash) pairs
+    # way by the sort
     cells1 = jnp.floor(e1 / cell).astype(jnp.int32)
     h1 = _cell_hash(cells1)
     h1 = jnp.where(valid1, h1, jnp.int32(2147483647))
-    order = jnp.argsort(h1)
-    h1s = h1[order]
+
+    # Sort the table ONCE, carrying every per-entry column through the
+    # sort as extra operands: [e1 | dir-filter cols | valid] plus the
+    # original index. A 1-key-8-operand lax.sort measured 43 ms per
+    # 16-base step at K1=512k vs 219 ms for argsort followed by a 7-col
+    # row gather (TPU gathers are element-at-a-time; sort payload
+    # movement is vectorized). In healpix mode the direction column is
+    # the (exactly float-representable, < 12*nside^2) pixel id instead
+    # of the 3-vector.
+    use_dir = cone_cos_tolerance >= 0
+    use_healpix = use_dir and direction_bins == "healpix"
+    cols = [e1, valid1[:, None].astype(e1.dtype)]
+    if use_dir:
+        d1 = b1 - a1
+        dir1 = d1 / jnp.maximum(
+            jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-30)
+    if use_healpix:
+        pix1 = _healpix.vec2pix_ring(healpix_nside, dir1)
+        cols.insert(1, pix1[:, None].astype(e1.dtype))
+    elif use_dir:
+        cols.insert(1, dir1)
+    unpacked = jnp.concatenate(cols, axis=1)                  # (K1, 4|5|7)
+    nc = unpacked.shape[1]
+    sorted_ops = jax.lax.sort(
+        (h1,) + tuple(unpacked[:, c] for c in range(nc))
+        + (jnp.arange(k1, dtype=jnp.int32),), num_keys=1)
+    h1s = sorted_ops[0]
+    packed = jnp.stack(sorted_ops[1:1 + nc], axis=1)          # (K1, nc)
+    order = sorted_ops[-1]
 
     # Q-side budget: compact the first qb valid second-side pairs
     qb = min(q_budget or 8192, k2)
@@ -285,27 +312,10 @@ def find_congruent_quads_grid(
     in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
     slot = jnp.clip(slot, 0, k1 - 1)
 
-    # one packed gather instead of three: [e1 | dir-filter cols | valid]
-    # rows, pre-sorted into hash order so ``slot`` indexes them directly.
-    # In healpix mode the direction column is the (exactly
-    # float-representable, < 12*nside^2) pixel id instead of the 3-vector.
-    # (A contiguous L-row dynamic-slice per probe was tried here and is
-    # 12x SLOWER on TPU than the plain row gather — vmapped
-    # dynamic_slice lowers to gather-of-slices, measured 1053 ms vs
-    # 86 ms at 65k probes x L=16; keep the advanced-index form.)
-    use_dir = cone_cos_tolerance >= 0
-    use_healpix = use_dir and direction_bins == "healpix"
-    cols = [e1, valid1[:, None].astype(e1.dtype)]
-    if use_dir:
-        d1 = b1 - a1
-        dir1 = d1 / jnp.maximum(
-            jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-30)
-    if use_healpix:
-        pix1 = _healpix.vec2pix_ring(healpix_nside, dir1)
-        cols.insert(1, pix1[:, None].astype(e1.dtype))
-    elif use_dir:
-        cols.insert(1, dir1)
-    packed = jnp.concatenate(cols, axis=1)[order]             # (K1, 4|5|7)
+    # candidate fetch: one packed row gather per slot. (A contiguous
+    # L-row dynamic-slice per probe was tried here and is 12x SLOWER on
+    # TPU than the plain row gather — vmapped dynamic_slice lowers to
+    # gather-of-slices, measured 1053 vs 86 ms at 65k probes x L=16.)
     g = packed[slot]                                          # (QB*8, L, .)
 
     # exact validation
