@@ -42,7 +42,7 @@ from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
 from .ops import congruent, geometry, lcp, refine, sampling, select
 from .ops.masking import masked_indices
 from .ops.pairs import (PairFilterConfig, extract_pairs,
-                        extract_pairs_rowcap)
+                        extract_pairs_rowcap_layout)
 from .utils import Logger, LogLevel
 from .visitor import DummyTransformVisitor, visitor_needs_global
 
@@ -127,15 +127,20 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     delta = opts.delta
 
     # dense (n^2-mask) extraction up to ~2k Q samples; per-row-capped
-    # approx-top-k compaction beyond that (memory O(row_block * nq),
-    # ~10x cheaper compaction — see ops/pairs.py extract_pairs_rowcap)
+    # approx-top-k capture beyond that, handed to the join in its raw
+    # (row, slot) layout — no global compaction stage and no k_pairs
+    # capacity cliff on this path (see extract_pairs_rowcap_layout).
+    # max_pairs still tunes the default row_cap so the knob keeps its
+    # meaning.
     if nq <= 2048:
-        def _extract(*a, col_offset=None, **kw):
-            return extract_pairs(*a, **kw)
+        def _extract(*a, col_offset=None):
+            return extract_pairs(*a, capacity=k_pairs)
     else:
-        _extract = functools.partial(extract_pairs_rowcap,
-                                     row_cap=opts.pair_row_cap,
-                                     recall_target=opts.pair_recall_target)
+        row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
+            5 * k_pairs // (2 * nq), 32)))
+        _extract = functools.partial(
+            extract_pairs_rowcap_layout, row_cap=row_cap,
+            recall_target=opts.pair_recall_target)
 
     def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         ids, inv1, inv2, bvalid = select.select_base(
@@ -150,10 +155,10 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
                                  0, q_pos.shape[0])
         pairs1, v1, c1, d1 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-            0, 1, eps_pairs, cfg, k_pairs, col_offset=off)
+            0, 1, eps_pairs, cfg, col_offset=off)
         pairs2, v2, c2, d2 = _extract(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-            2, 3, eps_pairs, cfg, k_pairs, col_offset=off)
+            2, 3, eps_pairs, cfg, col_offset=off)
 
         # angle between the two base segments (ref:super4pcs.cc:109-111)
         s1 = base_pos[1] - base_pos[0]

@@ -269,7 +269,11 @@ def find_congruent_quads_grid(
         (h1,) + tuple(unpacked[:, c] for c in range(nc))
         + (jnp.arange(k1, dtype=jnp.int32),), num_keys=1)
     h1s = sorted_ops[0]
-    packed = jnp.stack(sorted_ops[1:1 + nc], axis=1)          # (K1, nc)
+    # keep the table TRANSPOSED, (nc, K1): a gathered (N, nc) f32 block
+    # tiles as T(8,128) with the nc-wide minor dim padded to 128 — an
+    # 18x HBM blowup (measured 7.9 GB at N=16M, an OOM); with the big
+    # axis minor, padding is negligible.
+    packed = jnp.stack(sorted_ops[1:1 + nc], axis=0)          # (nc, K1)
     order = sorted_ops[-1]
 
     # Q-side budget: compact the first qb valid second-side pairs
@@ -312,17 +316,18 @@ def find_congruent_quads_grid(
     in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
     slot = jnp.clip(slot, 0, k1 - 1)
 
-    # candidate fetch: one packed row gather per slot. (A contiguous
-    # L-row dynamic-slice per probe was tried here and is 12x SLOWER on
-    # TPU than the plain row gather — vmapped dynamic_slice lowers to
-    # gather-of-slices, measured 1053 vs 86 ms at 65k probes x L=16.)
-    g = packed[slot]                                          # (QB*8, L, .)
+    # candidate fetch: one row gather per slot along the K1 axis. (A
+    # contiguous L-row dynamic-slice per probe was tried here and is
+    # 12x SLOWER on TPU than the plain gather — vmapped dynamic_slice
+    # lowers to gather-of-slices, measured 1053 vs 86 ms at 65k probes
+    # x L=16.)
+    g = packed[:, slot]                                       # (nc, QB*8, L)
 
     # exact validation
-    e2_c = e2[qi]                                             # (QB*8, 3)
-    d2 = jnp.sum((g[..., :3] - e2_c[:, None, :]) ** 2, axis=-1)
+    e2_c = e2[qi].T                                           # (3, QB*8)
+    d2 = jnp.sum((g[:3] - e2_c[:, :, None]) ** 2, axis=0)     # (QB*8, L)
     mask = in_cell & (d2 <= r * r)
-    mask &= (g[..., -1] > 0)
+    mask &= (g[-1] > 0)
 
     if use_dir:
         d2v = b2 - a2
@@ -331,10 +336,10 @@ def find_congruent_quads_grid(
     if use_healpix:
         circ = healpix_circle_pixels(
             dir2, base_cos_alpha, healpix_nside, healpix_samples)
-        pix_cand = g[..., 3].astype(jnp.int32)                # (QB*8, L)
+        pix_cand = g[3].astype(jnp.int32)                     # (QB*8, L)
         mask &= _healpix_membership(pix_cand, circ[qi][:, None, :])
     elif use_dir:
-        cos12 = jnp.sum(g[..., 3:6] * dir2[qi][:, None, :], axis=-1)
+        cos12 = jnp.sum(g[3:6] * dir2[qi].T[:, :, None], axis=0)
         mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance
 
     sel, valid, count = masked_indices(mask.reshape(-1), capacity)

@@ -340,6 +340,53 @@ def extract_pairs_rowcap(
         # quality-per-second at nq=8192, capacity=64*nq)
         row_cap = min(n, max(32, _round_up_32(
             5 * capacity // (2 * max(n, 1)))))
+    cols, hit, rc, n_pad = _rowcap_scan(
+        pos, normal, rgb, base_pos, base_norm, base_rgb, edge0, edge1,
+        pair_distance_epsilon, cfg, row_cap, row_block, recall_target,
+        col_offset)
+
+    # Merge exploiting approx_max_k's output layout: each row's hits
+    # occupy its FIRST cap_r slots (finite keys sort before -inf), so
+    # global compaction is pure index arithmetic — row offsets from an
+    # n_pad-element cumsum, slot->row by binary search over that small
+    # table. Replaces a (n_pad*row_cap)-element cumsum+scatter
+    # (masked_indices) that dominated extraction time; outputs are
+    # bit-identical (row-major, within-row approx_max_k order).
+    cap_r = jnp.sum(hit, axis=1, dtype=jnp.int32)          # (n_pad,)
+    off_incl = jnp.cumsum(cap_r, dtype=jnp.int32)
+    found = off_incl[-1]
+    s = jnp.arange(capacity, dtype=jnp.int32)
+    valid = s < jnp.minimum(found, capacity)
+    # slot -> row: scatter each non-empty row's index at its start
+    # offset, then a running max fills the gaps. (A binary search per
+    # slot — searchsorted method='scan' — is 13 serial gather rounds on
+    # TPU and measured 4x slower than the whole old scatter merge.)
+    off_excl = off_incl - cap_r
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    tgt = jnp.where((cap_r > 0) & (off_excl < capacity), off_excl,
+                    capacity)
+    starts = jnp.zeros(capacity + 1, jnp.int32).at[tgt].max(
+        rows, mode="drop")
+    r = jax.lax.cummax(starts[:capacity])
+    r = jnp.where(valid, r, 0)
+    j = s - off_excl[r]
+    j = jnp.where(valid, j, 0)
+    v = cols[r, j]
+    pairs = jnp.stack([jnp.where(valid, r, 0), jnp.where(valid, v, 0)],
+                      axis=-1)
+
+    count = jnp.sum(rc, dtype=jnp.int32)          # exact pre-cap total
+    captured = jnp.minimum(found, capacity)
+    return pairs.astype(jnp.int32), valid, count, count - captured
+
+
+def _rowcap_scan(pos, normal, rgb, base_pos, base_norm, base_rgb,
+                 edge0, edge1, pair_distance_epsilon, cfg,
+                 row_cap, row_block, recall_target, col_offset):
+    """Shared block scan of the row-capped extraction: per-row masked
+    approx_max_k capture. Returns (cols (n_pad, row_cap), hit
+    (n_pad, row_cap), rc (n_pad,) exact per-row mask counts, n_pad)."""
+    n = pos.shape[0]
     b0p, b1p = base_pos[edge0], base_pos[edge1]
     pair_distance = jnp.linalg.norm(b0p - b1p)
     pair_normals_angle = jnp.linalg.norm(base_norm[edge0] - base_norm[edge1])
@@ -382,43 +429,46 @@ def extract_pairs_rowcap(
 
     _, (cols, hit, rc) = jax.lax.scan(
         one_block, 0, jnp.arange(n_blocks, dtype=jnp.int32))
-    cols = cols.reshape(n_pad, row_cap)
-    hit = hit.reshape(n_pad, row_cap)
-    rc = rc.reshape(n_pad)
+    return (cols.reshape(n_pad, row_cap), hit.reshape(n_pad, row_cap),
+            rc.reshape(n_pad), n_pad)
 
-    # Merge exploiting approx_max_k's output layout: each row's hits
-    # occupy its FIRST cap_r slots (finite keys sort before -inf), so
-    # global compaction is pure index arithmetic — row offsets from an
-    # n_pad-element cumsum, slot->row by binary search over that small
-    # table. Replaces a (n_pad*row_cap)-element cumsum+scatter
-    # (masked_indices) that dominated extraction time; outputs are
-    # bit-identical (row-major, within-row approx_max_k order).
-    cap_r = jnp.sum(hit, axis=1, dtype=jnp.int32)          # (n_pad,)
-    off_incl = jnp.cumsum(cap_r, dtype=jnp.int32)
-    found = off_incl[-1]
-    s = jnp.arange(capacity, dtype=jnp.int32)
-    valid = s < jnp.minimum(found, capacity)
-    # slot -> row: scatter each non-empty row's index at its start
-    # offset, then a running max fills the gaps. (A binary search per
-    # slot — searchsorted method='scan' — is 13 serial gather rounds on
-    # TPU and measured 4x slower than the whole old scatter merge.)
-    off_excl = off_incl - cap_r
-    rows = jnp.arange(n_pad, dtype=jnp.int32)
-    tgt = jnp.where((cap_r > 0) & (off_excl < capacity), off_excl,
-                    capacity)
-    starts = jnp.zeros(capacity + 1, jnp.int32).at[tgt].max(
-        rows, mode="drop")
-    r = jax.lax.cummax(starts[:capacity])
-    r = jnp.where(valid, r, 0)
-    j = s - off_excl[r]
-    j = jnp.where(valid, j, 0)
-    v = cols[r, j]
-    pairs = jnp.stack([jnp.where(valid, r, 0), jnp.where(valid, v, 0)],
-                      axis=-1)
 
-    count = jnp.sum(rc, dtype=jnp.int32)          # exact pre-cap total
-    captured = jnp.minimum(found, capacity)
-    return pairs.astype(jnp.int32), valid, count, count - captured
+def extract_pairs_rowcap_layout(
+    pos, normal, rgb,
+    base_pos, base_norm, base_rgb,
+    edge0: int, edge1: int,
+    pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    row_cap: int,
+    row_block: int = 2048,
+    recall_target: float = 0.9,
+    col_offset=None,
+):
+    """Row-capped extraction WITHOUT the global compaction.
+
+    Returns the raw per-row capture layout: ``(pairs (n_pad*row_cap, 2),
+    valid (n_pad*row_cap,), count, dropped)`` where slot ``s`` holds the
+    ordered pair ``(s // row_cap, cols[s])``. Compared to
+    :func:`extract_pairs_rowcap` this removes both the merge compaction
+    cost and the global ``capacity`` truncation entirely — the only
+    losses are per-row caps and approx_max_k recall misses, exactly
+    counted in ``dropped``. The congruent join consumes (pairs, valid)
+    of any length, so the fixed-capacity buffer stage is unnecessary on
+    the large-nq path (its role in the reference — bounding memory of a
+    std::vector — is played by row_cap here;
+    ref:accelerators/pairExtraction/intersectionFunctor.h:105-233).
+    """
+    n = pos.shape[0]
+    cols, hit, rc, n_pad = _rowcap_scan(
+        pos, normal, rgb, base_pos, base_norm, base_rgb, edge0, edge1,
+        pair_distance_epsilon, cfg, row_cap, row_block, recall_target,
+        col_offset)
+    u = jnp.arange(n_pad * row_cap, dtype=jnp.int32) // row_cap
+    pairs = jnp.stack([u, cols.reshape(-1)], axis=-1)
+    valid = hit.reshape(-1)
+    count = jnp.sum(rc, dtype=jnp.int32)
+    found = jnp.sum(hit, dtype=jnp.int32)
+    return pairs, valid, count, count - found
 
 
 def _round_up_32(x: int) -> int:

@@ -301,6 +301,38 @@ def test_rowcap_row_overflow_counted(rng):
     assert (np.abs(dd - 1.0) <= 0.05).all()
 
 
+def test_rowcap_layout_matches_compacted(rng):
+    """extract_pairs_rowcap_layout must produce the same pair set and
+    the same count/dropped accounting as the compacted form when the
+    compacted capacity is ample (the layout form has no capacity)."""
+    from super4pcs_tpu.ops.pairs import (extract_pairs_rowcap,
+                                         extract_pairs_rowcap_layout)
+    n = 200
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    z = jnp.zeros((n, 3), jnp.float32)
+    neg = jnp.full((n, 3), -1.0, jnp.float32)
+    base = (jnp.asarray(pos[:4]), jnp.zeros((4, 3)),
+            jnp.full((4, 3), -1.0))
+    for row_cap, off in ((n, None), (8, jnp.int32(37))):
+        args = (jnp.asarray(pos), z, neg, *base, 0, 1, 0.15,
+                PairFilterConfig())
+        pc, vc, cc, dc = extract_pairs_rowcap(
+            *args, capacity=65536, row_cap=row_cap, row_block=64,
+            col_offset=off)
+        pl, vl, cl, dl = extract_pairs_rowcap_layout(
+            *args, row_cap=row_cap, row_block=64, col_offset=off)
+        setc = {tuple(x) for x, ok in zip(np.asarray(pc), np.asarray(vc))
+                if ok}
+        setl = {tuple(x) for x, ok in zip(np.asarray(pl), np.asarray(vl))
+                if ok}
+        assert setl == setc
+        assert int(cl) == int(cc) and int(dl) == int(dc)
+        # slot s holds row s // row_cap
+        got = np.asarray(pl)[np.asarray(vl)]
+        slots = np.where(np.asarray(vl))[0]
+        assert (got[:, 0] == slots // row_cap).all()
+
+
 def test_rowcap_col_offset(rng):
     """col_offset rotates the per-row keep preference: with ample cap
     the pair *set* is unchanged for any offset; under cap pressure
