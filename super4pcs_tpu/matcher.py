@@ -133,13 +133,15 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     # max_pairs still tunes the default row_cap so the knob keeps its
     # meaning.
     if nq <= 2048:
+        join_row_cap = None
+
         def _extract(*a, col_offset=None):
             return extract_pairs(*a, capacity=k_pairs)
     else:
-        row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
+        join_row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
             5 * k_pairs // (2 * nq), 32)))
         _extract = functools.partial(
-            extract_pairs_rowcap_layout, row_cap=row_cap,
+            extract_pairs_rowcap_layout, row_cap=join_row_cap,
             recall_target=opts.pair_recall_target)
 
     def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
@@ -174,7 +176,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
                 cell_candidates=opts.cell_candidates,
                 q_budget=opts.join_q_budget,
                 direction_bins=opts.direction_bins,
-                healpix_nside=opts.healpix_nside)
+                healpix_nside=opts.healpix_nside,
+                row_cap=join_row_cap)
         qvalid = qvalid & bvalid
 
         cand = q_pos[quads]                         # (Kq, 4, 3)

@@ -196,6 +196,7 @@ def find_congruent_quads_grid(
     direction_bins: str = "cone",
     healpix_nside: int = 4,
     healpix_samples: int = 32,
+    row_cap: int | None = None,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -223,6 +224,13 @@ def find_congruent_quads_grid(
     Same contract as :func:`find_congruent_quads` (the dense oracle),
     plus a second returned count of per-cell/budget overflow drops.
 
+    ``row_cap`` declares that ``pairs1`` is in the row-capped capture
+    layout of ``extract_pairs_rowcap_layout`` — row ``i`` of the table
+    is the ordered pair ``(i // row_cap, pairs1[i, 1])``. The first
+    endpoint is then materialized by a broadcast instead of a K1-sized
+    gather (measurably cheaper on TPU, where gathers are
+    element-at-a-time). Behavior is identical; a parity test pins it.
+
     Returns (quads, valid, count, dropped).
     """
     r = distance_threshold
@@ -233,7 +241,15 @@ def find_congruent_quads_grid(
 
     # gather each pair's endpoints once; e1 and the direction both
     # derive from (a1, b1)
-    a1 = pos[pairs1[:, 0]]
+    if row_cap is not None:
+        # rows are 0..n_rows-1 in order (n_rows may exceed len(pos) by
+        # block padding; those rows are invalid and clamp like gathers)
+        n_rows = k1 // row_cap
+        p1 = pos[jnp.minimum(jnp.arange(n_rows), pos.shape[0] - 1)]
+        a1 = jnp.broadcast_to(p1[:, None, :],
+                              (n_rows, row_cap, 3)).reshape(k1, 3)
+    else:
+        a1 = pos[pairs1[:, 0]]
     b1 = pos[pairs1[:, 1]]
     e1 = a1 + invariant1 * (b1 - a1)                   # (K1, 3)
 
@@ -251,19 +267,26 @@ def find_congruent_quads_grid(
     # movement is vectorized). In healpix mode the direction column is
     # the (exactly float-representable, < 12*nside^2) pixel id instead
     # of the 3-vector.
+    # No `valid` payload column: invalid rows carry the sentinel hash
+    # (INT32_MAX), and no probe can return a sentinel-region slot — a
+    # query cell hashing to INT32_MAX gets an empty range via the hq+1
+    # wrap (see below), and any other hash never equals the sentinel.
+    # (A *valid* entry whose real hash lands exactly on INT32_MAX is
+    # unreachable for the same reason — true with or without the
+    # column, at 2^-32 odds per entry.)
     use_dir = cone_cos_tolerance >= 0
     use_healpix = use_dir and direction_bins == "healpix"
-    cols = [e1, valid1[:, None].astype(e1.dtype)]
+    cols = [e1]
     if use_dir:
         d1 = b1 - a1
         dir1 = d1 / jnp.maximum(
             jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-30)
     if use_healpix:
         pix1 = _healpix.vec2pix_ring(healpix_nside, dir1)
-        cols.insert(1, pix1[:, None].astype(e1.dtype))
+        cols.append(pix1[:, None].astype(e1.dtype))
     elif use_dir:
-        cols.insert(1, dir1)
-    unpacked = jnp.concatenate(cols, axis=1)                  # (K1, 4|5|7)
+        cols.append(dir1)
+    unpacked = jnp.concatenate(cols, axis=1)                  # (K1, 3|4|6)
     nc = unpacked.shape[1]
     sorted_ops = jax.lax.sort(
         (h1,) + tuple(unpacked[:, c] for c in range(nc))
@@ -327,7 +350,6 @@ def find_congruent_quads_grid(
     e2_c = e2[qi].T                                           # (3, QB*8)
     d2 = jnp.sum((g[:3] - e2_c[:, :, None]) ** 2, axis=0)     # (QB*8, L)
     mask = in_cell & (d2 <= r * r)
-    mask &= (g[-1] > 0)
 
     if use_dir:
         d2v = b2 - a2

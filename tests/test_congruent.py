@@ -113,6 +113,37 @@ def test_grid_join_matches_dense(rng):
         assert grid == dense, (len(grid), len(dense))
 
 
+def test_grid_join_row_cap_layout_parity(rng):
+    """With pairs1 in the row-capped capture layout (row i // row_cap),
+    passing row_cap must be a pure optimization: identical quads, count
+    and drop telemetry to the generic path, including padded rows
+    (n_rows > len(pos)) which are invalid."""
+    n, row_cap = 60, 4
+    n_rows = 64                                    # 4 padded rows
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int32), row_cap)
+    cols = rng.integers(0, n, size=(n_rows * row_cap,)).astype(np.int32)
+    pairs1 = np.stack([rows, cols], axis=-1)
+    valid1 = (rng.uniform(size=len(pairs1)) < 0.7) & (rows < n) \
+        & (rows != cols)
+    pairs2 = make_pairs(rng, pos, 200)
+    for cone in (-1.0, 0.3):
+        args = (jnp.asarray(pos),
+                jnp.asarray(pairs1), jnp.asarray(valid1),
+                jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+                0.42, 0.58, 0.15, 0.25, cone)
+        qg, vg, cg, dg = congruent.find_congruent_quads_grid(
+            *args, capacity=16384, cell_candidates=64)
+        ql, vl, cl, dl = congruent.find_congruent_quads_grid(
+            *args, capacity=16384, cell_candidates=64, row_cap=row_cap)
+        generic = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg))
+                   if v}
+        layout = {tuple(x) for x, v in zip(np.asarray(ql), np.asarray(vl))
+                  if v}
+        assert layout == generic
+        assert int(cl) == int(cg) and int(dl) == int(dg)
+
+
 def test_healpix_mode_grid_matches_dense(rng):
     """direction_bins="healpix" (the IndexedNormalHealSet analog) must
     keep the grid==dense parity contract — both paths apply the same
