@@ -51,7 +51,8 @@ TPU_OPT_KEYS = frozenset({
     "bases_per_step", "max_pairs", "max_quads", "max_candidates",
     "pair_row_cap", "pair_recall_target", "cone_cos_tolerance",
     "n_triangle_trials",
-    "cell_candidates", "join_q_budget", "direction_bins",
+    "cell_candidates", "join_q_budget", "join_probe_budget",
+    "direction_bins",
     "healpix_nside", "refine_iterations", "verify_top_k", "coarse_q",
     "coarse_p", "p_sample_budget", "use_full_time_budget",
     "phase_timing", "random_seed", "estimate_scale",

@@ -177,7 +177,13 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
                 q_budget=opts.join_q_budget,
                 direction_bins=opts.direction_bins,
                 healpix_nside=opts.healpix_nside,
-                row_cap=join_row_cap)
+                row_cap=join_row_cap,
+                # probe compaction only pays (and only risks budget
+                # drops) on the large-nq layout path
+                probe_budget=(
+                    (opts.join_probe_budget
+                     or 2 * (opts.join_q_budget or 8192))
+                    if join_row_cap is not None else None))
         qvalid = qvalid & bvalid
 
         cand = q_pos[quads]                         # (Kq, 4, 3)

@@ -182,6 +182,49 @@ def _cell_hash(cells):
         ^ (cells[..., 2] * _HP3)
 
 
+def _oct_encode(dirs):
+    """Octahedral-map f16x2 packing of unit vectors into one int32.
+
+    Folds the unit sphere onto the [-1,1]^2 octahedral square and
+    stores the two coordinates as float16 halves. Quantization error is
+    ~5e-4 per coordinate (~1e-3 on a cosine) — two orders of magnitude
+    below the default cone tolerance (0.30, Options.cone_cos_tolerance)
+    and far finer than the reference's own 7^3 direction binning
+    (ref:accelerators/normalset.h:114-124). Lets the sorted join carry
+    one direction operand instead of three.
+    """
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    s = jnp.maximum(jnp.abs(x) + jnp.abs(y) + jnp.abs(z), 1e-30)
+    px, py = x / s, y / s
+    sx = jnp.where(px >= 0, 1.0, -1.0)
+    sy = jnp.where(py >= 0, 1.0, -1.0)
+    u = jnp.where(z < 0, (1.0 - jnp.abs(py)) * sx, px)
+    v = jnp.where(z < 0, (1.0 - jnp.abs(px)) * sy, py)
+    ub = jax.lax.bitcast_convert_type(u.astype(jnp.float16), jnp.uint16)
+    vb = jax.lax.bitcast_convert_type(v.astype(jnp.float16), jnp.uint16)
+    return ub.astype(jnp.int32) | (vb.astype(jnp.int32) << 16)
+
+
+def _oct_decode(enc):
+    """Inverse of :func:`_oct_encode`. Returns the unit vector as three
+    same-shape component arrays — separate components keep every
+    intermediate 2-D, avoiding a minor-dim-3 tensor that would tile to
+    a heavily padded TPU layout."""
+    u = jax.lax.bitcast_convert_type(
+        (enc & 0xffff).astype(jnp.uint16),
+        jnp.float16).astype(jnp.float32)
+    v = jax.lax.bitcast_convert_type(
+        ((enc >> 16) & 0xffff).astype(jnp.uint16),
+        jnp.float16).astype(jnp.float32)
+    z = 1.0 - jnp.abs(u) - jnp.abs(v)
+    sx = jnp.where(u >= 0, 1.0, -1.0)
+    sy = jnp.where(v >= 0, 1.0, -1.0)
+    x = jnp.where(z < 0, (1.0 - jnp.abs(v)) * sx, u)
+    y = jnp.where(z < 0, (1.0 - jnp.abs(u)) * sy, v)
+    n = jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-30)
+    return x / n, y / n, z / n
+
+
 def find_congruent_quads_grid(
     pos,
     pairs1, valid1,
@@ -197,6 +240,7 @@ def find_congruent_quads_grid(
     healpix_nside: int = 4,
     healpix_samples: int = 32,
     row_cap: int | None = None,
+    probe_budget: int | None = None,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -206,11 +250,13 @@ def find_congruent_quads_grid(
     pointer grids and circle rendering, invariant points of the first
     pair set are hashed into cells of size ``2 * distance_threshold``
     and sorted by hash; each second-set invariant point probes the 8
-    corner-neighbor cells with two ``searchsorted`` calls, takes up to
-    ``cell_candidates`` entries per cell, and validates exactly
-    (distance + cone mask). Exact up to the per-cell candidate cap
-    (overflow is counted); hash collisions only add candidates that the
-    exact mask removes.
+    corner-neighbor cells via boundary queries folded into the same
+    sort, takes up to ``cell_candidates`` entries per cell, and
+    validates exactly (distance + cone mask). Exact up to the per-cell
+    candidate cap (overflow is counted) and the stored direction's
+    octahedral-f16 quantization (~1e-3 on a cosine, vs the default
+    cone tolerance 0.30 — see :func:`_oct_encode`); hash collisions
+    only add candidates that the exact distance mask removes.
 
     ``q_budget`` bounds how many *valid* second-side pairs are probed
     per call (default: all up to 8192). The compaction to the budget
@@ -230,6 +276,15 @@ def find_congruent_quads_grid(
     endpoint is then materialized by a broadcast instead of a K1-sized
     gather (measurably cheaper on TPU, where gathers are
     element-at-a-time). Behavior is identical; a parity test pins it.
+
+    ``probe_budget``: when set, the corner probes that hit a non-empty
+    cell are compacted to this many before the candidate gather, so
+    gather/validate cost scales with cells *hit* rather than probes
+    *issued* (at the fine-delta operating point only ~13% of probes hit
+    a non-empty cell — tools/probe_occupancy measurement). Probes
+    beyond the budget drop their whole cell; those entries are counted
+    in ``dropped`` exactly like per-cell cap overflow. ``None`` (the
+    default) disables compaction — no probe is ever dropped.
 
     Returns (quads, valid, count, dropped).
     """
@@ -259,14 +314,14 @@ def find_congruent_quads_grid(
     h1 = _cell_hash(cells1)
     h1 = jnp.where(valid1, h1, jnp.int32(2147483647))
 
-    # Sort the table ONCE, carrying every per-entry column through the
-    # sort as extra operands: [e1 | dir-filter cols | valid] plus the
-    # original index. A 1-key-8-operand lax.sort measured 43 ms per
-    # 16-base step at K1=512k vs 219 ms for argsort followed by a 7-col
-    # row gather (TPU gathers are element-at-a-time; sort payload
-    # movement is vectorized). In healpix mode the direction column is
-    # the (exactly float-representable, < 12*nside^2) pixel id instead
-    # of the 3-vector.
+    # The table is sorted ONCE (further below, fused with the probe
+    # boundary queries), carrying every per-entry column as sort
+    # operands: e1 as three f32 columns, the direction as ONE packed
+    # int32 column (octahedral f16x2 in cone mode, ring-scheme pixel id
+    # in healpix mode), plus the original index. Carrying payloads
+    # through the sort beats argsort-then-gather (measured 43 vs 219 ms
+    # per 16-base step at K1=512k: TPU gathers are element-at-a-time,
+    # sort payload movement is vectorized).
     # No `valid` payload column: invalid rows carry the sentinel hash
     # (INT32_MAX), and no probe can return a sentinel-region slot — a
     # query cell hashing to INT32_MAX gets an empty range via the hq+1
@@ -276,28 +331,16 @@ def find_congruent_quads_grid(
     # column, at 2^-32 odds per entry.)
     use_dir = cone_cos_tolerance >= 0
     use_healpix = use_dir and direction_bins == "healpix"
-    cols = [e1]
     if use_dir:
         d1 = b1 - a1
         dir1 = d1 / jnp.maximum(
             jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-30)
+    extra_col = None                              # int32 direction bin
     if use_healpix:
-        pix1 = _healpix.vec2pix_ring(healpix_nside, dir1)
-        cols.append(pix1[:, None].astype(e1.dtype))
+        extra_col = _healpix.vec2pix_ring(healpix_nside,
+                                          dir1).astype(jnp.int32)
     elif use_dir:
-        cols.append(dir1)
-    unpacked = jnp.concatenate(cols, axis=1)                  # (K1, 3|4|6)
-    nc = unpacked.shape[1]
-    sorted_ops = jax.lax.sort(
-        (h1,) + tuple(unpacked[:, c] for c in range(nc))
-        + (jnp.arange(k1, dtype=jnp.int32),), num_keys=1)
-    h1s = sorted_ops[0]
-    # keep the table TRANSPOSED, (nc, K1): a gathered (N, nc) f32 block
-    # tiles as T(8,128) with the nc-wide minor dim padded to 128 — an
-    # 18x HBM blowup (measured 7.9 GB at N=16M, an OOM); with the big
-    # axis minor, padding is negligible.
-    packed = jnp.stack(sorted_ops[1:1 + nc], axis=0)          # (nc, K1)
-    order = sorted_ops[-1]
+        extra_col = _oct_encode(dir1)
 
     # Q-side budget: compact the first qb valid second-side pairs
     qb = min(q_budget or 8192, k2)
@@ -307,48 +350,114 @@ def find_congruent_quads_grid(
     b2 = pos[pairs2b[:, 1]]
     e2 = a2 + invariant2 * (b2 - a2)                           # (QB, 3)
 
-    # 8 corner cells per query
+    # 8 corner cells per query; [hq, hq+1] boundary queries find both
+    # range ends (side='right' of h == side='left' of h+1 for int
+    # keys). Caveat: a cell hashing exactly to INT32_MAX wraps to an
+    # empty range — that hash already collides with the invalid-entry
+    # sentinel today, so nothing new is lost.
     base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)   # (QB, 3)
     probe = base_cell[:, None, :] + jnp.asarray(_CORNER_OFFSETS)  # (QB,8,3)
-    hq = _cell_hash(probe)                                     # (QB, 8)
+    hq_flat = _cell_hash(probe).reshape(-1)                    # (QB*8,)
+    n2q = hq_flat.shape[0]
+    total = k1 + 2 * n2q
 
-    # method='sort' lowers to one concatenated sort — the TPU-friendly
-    # form (binary-search scans serialize on TPU). One call finds both
-    # range ends: for integer keys, side='right' of h equals side='left'
-    # of h+1, so querying [hq, hq+1] halves the sort count (measured
-    # ~1.4x less searchsorted volume). Caveat: a cell hashing exactly to
-    # INT32_MAX wraps to an empty range — that hash already collides
-    # with the invalid-entry sentinel today, so nothing new is lost.
-    hq_flat = hq.reshape(-1)
-    both = jnp.searchsorted(
-        h1s, jnp.concatenate([hq_flat, hq_flat + 1]),
-        side='left', method='sort')
-    lo = both[:hq_flat.shape[0]].reshape(qb, 8)
-    hi = both[hq_flat.shape[0]:].reshape(qb, 8)
+    # ONE combined sort of table rows and probe boundary queries. Sort
+    # passes are dominated by key compare-exchange, not payload count,
+    # so folding the 2*QB*8 boundary queries into the table sort (+20%
+    # rows) is far cheaper than a second rank sort over table+queries
+    # (which jnp.searchsorted(method='sort') needs, plus two full-
+    # length scatters — measured 229 ms per 16-base step vs ~30 ms
+    # marginal here; tools/join_micro.py). Ties break queries-first
+    # (tag 0 < 1), giving side='left' semantics. Query rows carry
+    # poisoned payloads (+inf invariant point) so a window that
+    # overruns its cell's contiguous table run into interleaved query
+    # rows can never validate them.
+    keys = jnp.concatenate([h1, hq_flat, hq_flat + 1])
+    tagc = jnp.concatenate([jnp.ones(k1, jnp.int32),
+                            jnp.zeros(2 * n2q, jnp.int32)])
+
+    def _pad(col, pv):
+        return jnp.concatenate(
+            [col, jnp.full((2 * n2q,), pv, col.dtype)])
+    ops = [_pad(e1[:, 0], jnp.inf), _pad(e1[:, 1], jnp.inf),
+           _pad(e1[:, 2], jnp.inf)]
+    if extra_col is not None:
+        ops.append(_pad(extra_col, 0))
+    sorted_ops = jax.lax.sort(
+        (keys, tagc, *ops,
+         jnp.arange(total, dtype=jnp.int32)), num_keys=2)
+    st = sorted_ops[1]
+    # keep the table TRANSPOSED, (3, total): a gathered (N, nc) f32
+    # block tiles as T(8,128) with the nc-wide minor dim padded to 128
+    # — an 18x HBM blowup (measured 7.9 GB at N=16M, an OOM); with the
+    # big axis minor, padding is negligible.
+    packed = jnp.stack(sorted_ops[2:5], axis=0)               # (3, total)
+    pextra = sorted_ops[5] if extra_col is not None else None
+    order = sorted_ops[-1]
+
+    # run boundaries: within one key group the order is [queries...,
+    # table rows...], and a group's table rows are contiguous — so a
+    # query's window starts at the next table position (reverse cummin)
+    # and ends before the first table position of any later key (its
+    # hq+1 twin's window start).
+    is_table = st == 1
+    posn = jnp.arange(total, dtype=jnp.int32)
+    # reverse cummin as flip(cummin(flip(.))) — lax.cummin compiles to
+    # the optimized TPU cumulative path; associative_scan(reverse=True)
+    # over arrays this size hangs the backend compiler (>28 min,
+    # reproduced twice on the axon tunnel)
+    nt = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(is_table, posn, total))))
+    ctab = jnp.cumsum(is_table.astype(jnp.int32)) \
+        - is_table.astype(jnp.int32)                   # table rows before
+    ctab = jnp.concatenate([ctab, jnp.full((1,), k1, jnp.int32)])
+    qtarget = jnp.where(is_table, 2 * n2q, order - k1)
+    bpos = jnp.zeros(2 * n2q, jnp.int32).at[qtarget].set(
+        nt, mode="drop")
+    lo_c = bpos[:n2q]                                          # (QB*8,)
+    hi_all = bpos[n2q:]
 
     # invalid slots beyond the live count probe garbage cells; zero them
-    # so they neither emit candidates nor fake drop telemetry
-    counts = jnp.where(sel2_valid[:, None], hi - lo, 0)        # (QB, 8)
-    lo_c = lo.reshape(-1)
-    hi_c = jnp.where(sel2_valid[:, None], hi, lo).reshape(-1)
+    # so they neither emit candidates nor fake drop telemetry. counts
+    # uses pure table-row ranks (ctab) — positions include interleaved
+    # query rows and would overcount.
     pvalid = jnp.repeat(sel2_valid, 8)
-    qi = jnp.arange(qb * 8, dtype=jnp.int32) // 8              # e2 row
+    counts = jnp.where(pvalid,
+                       jnp.maximum(ctab[hi_all] - ctab[lo_c], 0), 0)
+    hi_c = jnp.where(pvalid, hi_all, lo_c)
+    total_cells = jnp.sum(counts, dtype=jnp.int32)
+
+    if probe_budget is not None:
+        # compact the probes that hit at least one table row; the
+        # gather/validate volume below becomes (probe_budget, L)
+        pmask = (hi_c > lo_c) & pvalid
+        psel, psv, _ = masked_indices(pmask, probe_budget)
+        lo_c = lo_c[psel]
+        hi_c = jnp.where(psv, hi_c[psel], lo_c)
+        qi = psel // 8                                 # e2 row
+        pvalid = psv
+        kept_cells = jnp.sum(jnp.where(psv, counts[psel], 0),
+                             dtype=jnp.int32)
+        counts = jnp.where(psv, counts[psel], 0)
+    else:
+        qi = jnp.arange(qb * 8, dtype=jnp.int32) // 8  # e2 row
+        kept_cells = total_cells
 
     # up to L sorted-order slots per probe
-    slot = lo_c[:, None] + jnp.arange(L, dtype=lo.dtype)      # (QB*8, L)
+    slot = lo_c[:, None] + jnp.arange(L, dtype=lo_c.dtype)    # (PB, L)
     in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
-    slot = jnp.clip(slot, 0, k1 - 1)
+    slot = jnp.clip(slot, 0, total - 1)
 
     # candidate fetch: one row gather per slot along the K1 axis. (A
     # contiguous L-row dynamic-slice per probe was tried here and is
     # 12x SLOWER on TPU than the plain gather — vmapped dynamic_slice
     # lowers to gather-of-slices, measured 1053 vs 86 ms at 65k probes
     # x L=16.)
-    g = packed[:, slot]                                       # (nc, QB*8, L)
+    g = packed[:, slot]                                       # (3, QB*8, L)
 
     # exact validation
     e2_c = e2[qi].T                                           # (3, QB*8)
-    d2 = jnp.sum((g[:3] - e2_c[:, :, None]) ** 2, axis=0)     # (QB*8, L)
+    d2 = jnp.sum((g - e2_c[:, :, None]) ** 2, axis=0)         # (QB*8, L)
     mask = in_cell & (d2 <= r * r)
 
     if use_dir:
@@ -358,18 +467,22 @@ def find_congruent_quads_grid(
     if use_healpix:
         circ = healpix_circle_pixels(
             dir2, base_cos_alpha, healpix_nside, healpix_samples)
-        pix_cand = g[3].astype(jnp.int32)                     # (QB*8, L)
+        pix_cand = pextra[slot]                               # (QB*8, L)
         mask &= _healpix_membership(pix_cand, circ[qi][:, None, :])
     elif use_dir:
-        cos12 = jnp.sum(g[3:6] * dir2[qi].T[:, :, None], axis=0)
+        cx, cy, cz = _oct_decode(pextra[slot])                # (QB*8, L)
+        d2q = dir2[qi]                                        # (QB*8, 3)
+        cos12 = (cx * d2q[:, 0, None] + cy * d2q[:, 1, None]
+                 + cz * d2q[:, 2, None])
         mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance
 
     sel, valid, count = masked_indices(mask.reshape(-1), capacity)
     q1 = pairs1[order[slot.reshape(-1)[sel]]]
     q2 = pairs2b[qi[sel // L]]
     quads = jnp.concatenate([q1, q2], axis=-1)
-    # overflow accounting: per-cell cap drops + pairs beyond the Q
-    # budget (x8, probe units)
+    # overflow accounting: per-cell cap drops, whole cells lost to the
+    # probe budget, and pairs beyond the Q budget (x8, probe units)
     dropped = jnp.sum(jnp.maximum(counts - L, 0), dtype=jnp.int32)
+    dropped += total_cells - kept_cells
     dropped += 8 * jnp.maximum(n2 - qb, 0)
     return quads.astype(jnp.int32), valid, count, dropped

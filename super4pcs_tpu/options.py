@@ -101,6 +101,14 @@ class Options:
     #: uniform random subsample; skipped pairs are counted in
     #: stats["cell_dropped"] (x8, probe units).
     join_q_budget: Optional[int] = None
+    #: Probe budget of the grid join on the large-nq (> 2048) path:
+    #: the 8 corner probes per Q-side pair are compacted to the ones
+    #: that hit a non-empty cell before the candidate gather, bounded
+    #: by this many (``None`` derives 2 * join_q_budget — ~2x headroom
+    #: over the measured ~13% hit rate at fine-delta operating points).
+    #: Probes beyond the budget drop their cell, counted in
+    #: stats["cell_dropped"]. The small-nq dense path never compacts.
+    join_probe_budget: Optional[int] = None
     #: Direction filter of the Super4PCS congruent join: "cone" (exact
     #: dot-product mask, the default) or "healpix" (rasterized
     #: ring-scheme pixel bins — the reference's deprecated

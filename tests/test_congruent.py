@@ -5,6 +5,7 @@ the assertion the reference's disabled quad_extraction test intended
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from super4pcs_tpu.ops import congruent
 
@@ -113,6 +114,22 @@ def test_grid_join_matches_dense(rng):
         assert grid == dense, (len(grid), len(dense))
 
 
+def test_oct_direction_roundtrip(rng):
+    """Octahedral f16x2 packing reconstructs unit vectors to ~1e-3 —
+    including axis-aligned, antipodal and lower-hemisphere (folded)
+    directions."""
+    d = rng.normal(size=(2000, 3)).astype(np.float32)
+    d = np.concatenate([d, np.eye(3, dtype=np.float32),
+                        -np.eye(3, dtype=np.float32)])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    enc = congruent._oct_encode(jnp.asarray(d))
+    x, y, z = congruent._oct_decode(enc)
+    rec = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)], axis=1)
+    cos = np.sum(rec * d, axis=1)
+    assert np.linalg.norm(rec, axis=1) == pytest.approx(1.0, abs=1e-5)
+    assert cos.min() > 1.0 - 2e-6          # angle error well under 1e-3 rad
+
+
 def test_grid_join_row_cap_layout_parity(rng):
     """With pairs1 in the row-capped capture layout (row i // row_cap),
     passing row_cap must be a pure optimization: identical quads, count
@@ -142,6 +159,38 @@ def test_grid_join_row_cap_layout_parity(rng):
                   if v}
         assert layout == generic
         assert int(cl) == int(cg) and int(dl) == int(dg)
+
+
+def test_grid_join_probe_budget(rng):
+    """With an ample probe budget the compacted join is identical to
+    the uncompacted one; with a tight budget the missed cells' entries
+    are counted in dropped and the result stays a subset."""
+    pos = rng.uniform(-1, 1, size=(120, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 300)
+    pairs2 = make_pairs(rng, pos, 300)
+    args = (jnp.asarray(pos),
+            jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+            jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+            0.42, 0.58, 0.15, 0.25, 0.3)
+    qg, vg, cg, dg = congruent.find_congruent_quads_grid(
+        *args, capacity=16384, cell_candidates=64)
+    full = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg)) if v}
+    # ample: 8 probes per pair2 always fits
+    qa, va, ca, da = congruent.find_congruent_quads_grid(
+        *args, capacity=16384, cell_candidates=64,
+        probe_budget=8 * len(pairs2))
+    ample = {tuple(x) for x, v in zip(np.asarray(qa), np.asarray(va))
+             if v}
+    assert ample == full
+    assert int(ca) == int(cg) and int(da) == int(dg)
+    # tight: some non-empty cells dropped, every drop counted
+    qt, vt, ct, dt = congruent.find_congruent_quads_grid(
+        *args, capacity=16384, cell_candidates=64, probe_budget=32)
+    tight = {tuple(x) for x, v in zip(np.asarray(qt), np.asarray(vt))
+             if v}
+    assert tight <= full
+    assert int(dt) > int(dg)
+    assert len(tight) < len(full)       # budget 32 really bites here
 
 
 def test_healpix_mode_grid_matches_dense(rng):

@@ -1,8 +1,9 @@
 """Per-stage timing of find_congruent_quads_grid at the fine-delta
 operating point (nq=8192, row_cap=160 -> K1=1.31M, QB=8192, L=16,
-16 bases vmapped). Mirrors the production code (layout path, no valid
-payload column); timing fetches results to host (block_until_ready is
-not a reliable fence on the tunneled backend).
+probe budget 16384, 16 bases vmapped). Mirrors the production layout
+path (combined sort, packed octahedral dirs, probe compaction); timing
+fetches results to host (block_until_ready is not a reliable fence on
+the tunneled backend).
 """
 import time
 
@@ -20,6 +21,7 @@ K1 = NQ * ROW_CAP
 QB = 8192
 L = 16
 B = 16
+PB = 16384
 CAP = 4096
 R = 0.013
 
@@ -59,16 +61,6 @@ def stage_fn(stage):
             jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-30)
         if stage == "hash":
             return h1.sum() + e1.sum() + dir1.sum()
-        unpacked = jnp.concatenate([e1, dir1], axis=1)
-        nc = unpacked.shape[1]
-        sorted_ops = jax.lax.sort(
-            (h1,) + tuple(unpacked[:, c] for c in range(nc))
-            + (jnp.arange(k1, dtype=jnp.int32),), num_keys=1)
-        h1s = sorted_ops[0]
-        packed = jnp.stack(sorted_ops[1:1 + nc], axis=0)
-        order = sorted_ops[-1]
-        if stage == "sort":
-            return h1s.sum() + packed.sum() + order.sum()
         qb = QB
         sel2, sel2_valid, n2 = masked_indices(valid2, qb)
         pairs2b = pairs2[sel2]
@@ -77,33 +69,70 @@ def stage_fn(stage):
         e2 = a2 + inv2 * (b2 - a2)
         base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)
         probe = base_cell[:, None, :] + jnp.asarray(congruent._CORNER_OFFSETS)
-        hq = congruent._cell_hash(probe)
-        hq_flat = hq.reshape(-1)
-        both = jnp.searchsorted(
-            h1s, jnp.concatenate([hq_flat, hq_flat + 1]),
-            side='left', method='sort')
-        lo = both[:hq_flat.shape[0]].reshape(qb, 8)
-        hi = both[hq_flat.shape[0]:].reshape(qb, 8)
-        if stage == "searchsorted":
-            return lo.sum() + hi.sum() + packed.sum()
-        counts = jnp.where(sel2_valid[:, None], hi - lo, 0)
-        lo_c = lo.reshape(-1)
-        hi_c = jnp.where(sel2_valid[:, None], hi, lo).reshape(-1)
+        hq_flat = congruent._cell_hash(probe).reshape(-1)
+        n2q = hq_flat.shape[0]
+        total = k1 + 2 * n2q
+        keys = jnp.concatenate([h1, hq_flat, hq_flat + 1])
+        tagc = jnp.concatenate([jnp.ones(k1, jnp.int32),
+                                jnp.zeros(2 * n2q, jnp.int32)])
+
+        def _pad(col, pv):
+            return jnp.concatenate(
+                [col, jnp.full((2 * n2q,), pv, col.dtype)])
+        extra_col = congruent._oct_encode(dir1)
+        ops = [_pad(e1[:, 0], jnp.inf), _pad(e1[:, 1], jnp.inf),
+               _pad(e1[:, 2], jnp.inf), _pad(extra_col, 0)]
+        sorted_ops = jax.lax.sort(
+            (keys, tagc, *ops,
+             jnp.arange(total, dtype=jnp.int32)), num_keys=2)
+        st = sorted_ops[1]
+        packed = jnp.stack(sorted_ops[2:5], axis=0)
+        pextra = sorted_ops[5]
+        order = sorted_ops[-1]
+        if stage == "sort":
+            return st.sum() + packed.sum() + order.sum()
+        is_table = st == 1
+        posn = jnp.arange(total, dtype=jnp.int32)
+        nt = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(is_table, posn, total))))
+        ctab = jnp.cumsum(is_table.astype(jnp.int32)) \
+            - is_table.astype(jnp.int32)
+        ctab = jnp.concatenate([ctab, jnp.full((1,), k1, jnp.int32)])
+        qtarget = jnp.where(is_table, 2 * n2q, order - k1)
+        bpos = jnp.zeros(2 * n2q, jnp.int32).at[qtarget].set(
+            nt, mode="drop")
+        lo_c = bpos[:n2q]
+        hi_all = bpos[n2q:]
         pvalid = jnp.repeat(sel2_valid, 8)
-        qi = jnp.arange(qb * 8, dtype=jnp.int32) // 8
-        slot = lo_c[:, None] + jnp.arange(L, dtype=lo.dtype)
+        counts = jnp.where(pvalid,
+                           jnp.maximum(ctab[hi_all] - ctab[lo_c], 0), 0)
+        hi_c = jnp.where(pvalid, hi_all, lo_c)
+        if stage == "searchsorted":
+            return lo_c.sum() + hi_c.sum() + counts.sum() + packed.sum()
+        # probe compaction (production default: 2 * q_budget)
+        pmask = (hi_c > lo_c) & pvalid
+        psel, psv, _ = masked_indices(pmask, PB)
+        lo_c = lo_c[psel]
+        hi_c = jnp.where(psv, hi_c[psel], lo_c)
+        qi = psel // 8
+        pvalid = psv
+        counts = jnp.where(psv, counts[psel], 0)
+        slot = lo_c[:, None] + jnp.arange(L, dtype=lo_c.dtype)
         in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
-        slot = jnp.clip(slot, 0, k1 - 1)
+        slot = jnp.clip(slot, 0, total - 1)
         g = packed[:, slot]
         if stage == "gather":
             return g.sum() + counts.sum()
         e2_c = e2[qi].T
-        d2 = jnp.sum((g[:3] - e2_c[:, :, None]) ** 2, axis=0)
+        d2 = jnp.sum((g - e2_c[:, :, None]) ** 2, axis=0)
         mask = in_cell & (d2 <= r * r)
         d2v = b2 - a2
         dir2 = d2v / jnp.maximum(
             jnp.linalg.norm(d2v, axis=-1, keepdims=True), 1e-30)
-        cos12 = jnp.sum(g[3:6] * dir2[qi].T[:, :, None], axis=0)
+        cx, cy, cz = congruent._oct_decode(pextra[slot])
+        d2q = dir2[qi]
+        cos12 = (cx * d2q[:, 0, None] + cy * d2q[:, 1, None]
+                 + cz * d2q[:, 2, None])
         mask &= jnp.abs(cos12 - cosa) <= 0.02
         if stage == "validate":
             return mask.sum()
