@@ -323,12 +323,12 @@ def find_congruent_quads_grid(
     # per 16-base step at K1=512k: TPU gathers are element-at-a-time,
     # sort payload movement is vectorized).
     # No `valid` payload column: invalid rows carry the sentinel hash
-    # (INT32_MAX), and no probe can return a sentinel-region slot — a
-    # query cell hashing to INT32_MAX gets an empty range via the hq+1
-    # wrap (see below), and any other hash never equals the sentinel.
-    # (A *valid* entry whose real hash lands exactly on INT32_MAX is
-    # unreachable for the same reason — true with or without the
-    # column, at 2^-32 odds per entry.)
+    # (INT32_MAX, packed group 0x7ffffffe), and no probe can return a
+    # sentinel-region slot — a query cell in that top group gets an
+    # empty range via the group+2 wrap (see below), and any other group
+    # never equals it. (A *valid* entry whose real hash lands in the
+    # top group is unreachable for the same reason — true with or
+    # without the column, at 2^-31 odds per entry.)
     use_dir = cone_cos_tolerance >= 0
     use_healpix = use_dir and direction_bins == "healpix"
     if use_dir:
@@ -350,11 +350,11 @@ def find_congruent_quads_grid(
     b2 = pos[pairs2b[:, 1]]
     e2 = a2 + invariant2 * (b2 - a2)                           # (QB, 3)
 
-    # 8 corner cells per query; [hq, hq+1] boundary queries find both
-    # range ends (side='right' of h == side='left' of h+1 for int
-    # keys). Caveat: a cell hashing exactly to INT32_MAX wraps to an
-    # empty range — that hash already collides with the invalid-entry
-    # sentinel today, so nothing new is lost.
+    # 8 corner cells per query; [hq, hq+2] boundary queries (in packed
+    # key units, see below) find both range ends. Caveat: a cell whose
+    # packed hash group is the top one (0x7ffffffe) wraps to an empty
+    # range — that group already holds the invalid-entry sentinel
+    # today, so nothing new is lost.
     base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)   # (QB, 3)
     probe = base_cell[:, None, :] + jnp.asarray(_CORNER_OFFSETS)  # (QB,8,3)
     hq_flat = _cell_hash(probe).reshape(-1)                    # (QB*8,)
@@ -367,14 +367,20 @@ def find_congruent_quads_grid(
     # rows) is far cheaper than a second rank sort over table+queries
     # (which jnp.searchsorted(method='sort') needs, plus two full-
     # length scatters — measured 229 ms per 16-base step vs ~30 ms
-    # marginal here; tools/join_micro.py). Ties break queries-first
-    # (tag 0 < 1), giving side='left' semantics. Query rows carry
+    # marginal here; tools/join_micro.py). The query/table tag lives in
+    # the LOW BIT of a single packed int32 key: group = hash & ~1, tag
+    # 0 (query) < 1 (table) breaks ties queries-first — side='left'
+    # semantics with ONE sort key and no tag payload (a second int32
+    # key adds a full compare per exchange; measured win in
+    # tools/join_micro.py). Clearing the hash's low bit merges cells h
+    # and h^1 into one group — a superset window, removed by the exact
+    # distance mask like any other hash collision. Query rows carry
     # poisoned payloads (+inf invariant point) so a window that
     # overruns its cell's contiguous table run into interleaved query
     # rows can never validate them.
-    keys = jnp.concatenate([h1, hq_flat, hq_flat + 1])
-    tagc = jnp.concatenate([jnp.ones(k1, jnp.int32),
-                            jnp.zeros(2 * n2q, jnp.int32)])
+    group1 = h1 & ~jnp.int32(1)            # sentinel 0x7fffffff -> ..fe
+    groupq = hq_flat & ~jnp.int32(1)
+    keys = jnp.concatenate([group1 | 1, groupq, groupq + 2])
 
     def _pad(col, pv):
         return jnp.concatenate(
@@ -384,23 +390,23 @@ def find_congruent_quads_grid(
     if extra_col is not None:
         ops.append(_pad(extra_col, 0))
     sorted_ops = jax.lax.sort(
-        (keys, tagc, *ops,
-         jnp.arange(total, dtype=jnp.int32)), num_keys=2)
-    st = sorted_ops[1]
+        (keys, *ops,
+         jnp.arange(total, dtype=jnp.int32)), num_keys=1)
+    sk = sorted_ops[0]
     # keep the table TRANSPOSED, (3, total): a gathered (N, nc) f32
     # block tiles as T(8,128) with the nc-wide minor dim padded to 128
     # — an 18x HBM blowup (measured 7.9 GB at N=16M, an OOM); with the
     # big axis minor, padding is negligible.
-    packed = jnp.stack(sorted_ops[2:5], axis=0)               # (3, total)
-    pextra = sorted_ops[5] if extra_col is not None else None
+    packed = jnp.stack(sorted_ops[1:4], axis=0)               # (3, total)
+    pextra = sorted_ops[4] if extra_col is not None else None
     order = sorted_ops[-1]
 
     # run boundaries: within one key group the order is [queries...,
     # table rows...], and a group's table rows are contiguous — so a
     # query's window starts at the next table position (reverse cummin)
     # and ends before the first table position of any later key (its
-    # hq+1 twin's window start).
-    is_table = st == 1
+    # group+2 twin's window start).
+    is_table = (sk & 1) == 1
     posn = jnp.arange(total, dtype=jnp.int32)
     # reverse cummin as flip(cummin(flip(.))) — lax.cummin compiles to
     # the optimized TPU cumulative path; associative_scan(reverse=True)

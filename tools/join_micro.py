@@ -72,9 +72,9 @@ def stage_fn(stage):
         hq_flat = congruent._cell_hash(probe).reshape(-1)
         n2q = hq_flat.shape[0]
         total = k1 + 2 * n2q
-        keys = jnp.concatenate([h1, hq_flat, hq_flat + 1])
-        tagc = jnp.concatenate([jnp.ones(k1, jnp.int32),
-                                jnp.zeros(2 * n2q, jnp.int32)])
+        group1 = h1 & ~jnp.int32(1)
+        groupq = hq_flat & ~jnp.int32(1)
+        keys = jnp.concatenate([group1 | 1, groupq, groupq + 2])
 
         def _pad(col, pv):
             return jnp.concatenate(
@@ -83,15 +83,15 @@ def stage_fn(stage):
         ops = [_pad(e1[:, 0], jnp.inf), _pad(e1[:, 1], jnp.inf),
                _pad(e1[:, 2], jnp.inf), _pad(extra_col, 0)]
         sorted_ops = jax.lax.sort(
-            (keys, tagc, *ops,
-             jnp.arange(total, dtype=jnp.int32)), num_keys=2)
-        st = sorted_ops[1]
-        packed = jnp.stack(sorted_ops[2:5], axis=0)
-        pextra = sorted_ops[5]
+            (keys, *ops,
+             jnp.arange(total, dtype=jnp.int32)), num_keys=1)
+        sk = sorted_ops[0]
+        packed = jnp.stack(sorted_ops[1:4], axis=0)
+        pextra = sorted_ops[4]
         order = sorted_ops[-1]
         if stage == "sort":
-            return st.sum() + packed.sum() + order.sum()
-        is_table = st == 1
+            return sk.sum() + packed.sum() + order.sum()
+        is_table = (sk & 1) == 1
         posn = jnp.arange(total, dtype=jnp.int32)
         nt = jnp.flip(jax.lax.cummin(
             jnp.flip(jnp.where(is_table, posn, total))))
