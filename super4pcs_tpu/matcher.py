@@ -42,7 +42,7 @@ from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
 from .ops import congruent, geometry, lcp, refine, sampling, select
 from .ops.masking import masked_indices
 from .ops.pairs import (PairFilterConfig, extract_pairs,
-                        extract_pairs_rowcap_layout)
+                        extract_pairs_rowcap_layout_both)
 from .utils import Logger, LogLevel
 from .visitor import DummyTransformVisitor, visitor_needs_global
 
@@ -135,13 +135,18 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     if nq <= 2048:
         join_row_cap = None
 
-        def _extract(*a, col_offset=None):
-            return extract_pairs(*a, capacity=k_pairs)
+        def _extract_both(pos, normal, rgb, bpos, bnorm, brgb, eps,
+                          pcfg, col_offset=None):
+            return (extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
+                                  0, 1, eps, pcfg, capacity=k_pairs),
+                    extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
+                                  2, 3, eps, pcfg, capacity=k_pairs))
     else:
         join_row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
             5 * k_pairs // (2 * nq), 32)))
-        _extract = functools.partial(
-            extract_pairs_rowcap_layout, row_cap=join_row_cap,
+        # fused two-edge scan: shared block geometry, one approx_max_k
+        _extract_both = functools.partial(
+            extract_pairs_rowcap_layout_both, row_cap=join_row_cap,
             recall_target=opts.pair_recall_target)
 
     def try_base(key, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
@@ -155,12 +160,9 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
         # lottery across trials (see extract_pairs_rowcap)
         off = jax.random.randint(jax.random.fold_in(key, 7919), (),
                                  0, q_pos.shape[0])
-        pairs1, v1, c1, d1 = _extract(
+        (pairs1, v1, c1, d1), (pairs2, v2, c2, d2) = _extract_both(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-            0, 1, eps_pairs, cfg, col_offset=off)
-        pairs2, v2, c2, d2 = _extract(
-            q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-            2, 3, eps_pairs, cfg, col_offset=off)
+            eps_pairs, cfg, col_offset=off)
 
         # angle between the two base segments (ref:super4pcs.cc:109-111)
         s1 = base_pos[1] - base_pos[0]
@@ -391,10 +393,7 @@ class Match4PCSBase:
             self._import_state(resume_state)
         if self._best_lcp != 1.0:
             self._perform_steps(visitor)
-        # refinement fits strictly rigid poses — in similarity mode it
-        # would discard the recovered scale and always be rejected
-        if (self.options.refine_iterations > 0 and self._best_lcp < 1.0
-                and not self.options.estimate_scale):
+        if self._refine_active() and self._best_lcp < 1.0:
             tr0 = time.perf_counter()
             self._maybe_refine()
             self._stats["refine_seconds"] = time.perf_counter() - tr0
@@ -494,6 +493,7 @@ class Match4PCSBase:
         self._d_q_rgb = jnp.asarray(sampled_q.rgb_or_invalid(), f32)
 
         self._trial = 0
+        self._refine_jit = None
         # *_overflow / *_dropped are exact dropped-ITEM counts across
         # the run (pairs, quads, candidates lost to static buffer caps)
         self._stats = {
@@ -564,6 +564,14 @@ class Match4PCSBase:
                 self._d_q_pos, self._d_q_norm, self._d_q_rgb)
         tc = time.perf_counter()
         self._step_fn = self._step_fn.lower(*args).compile()
+        if self._refine_active():
+            # the in-loop refinement below must dispatch warm — its
+            # compile belongs with the step's, off the anytime clock.
+            # Rebind to the compiled executable: lower().compile() does
+            # not populate the jit wrapper's own cache.
+            self._refine_jit = self._refine_fn().lower(
+                jnp.eye(4, dtype=jnp.float32), self._d_q_pos,
+                self._d_p_pos).compile()
         self._stats["compile_seconds"] = time.perf_counter() - tc
 
         if opts.phase_timing:
@@ -615,6 +623,19 @@ class Match4PCSBase:
                 # improvement callback (ref:hpp:458-465, fraction = -1)
                 visitor(-1.0, self._best_lcp,
                         self._visitor_transform(needs_global))
+                # In-loop refinement: RANSAC's 4-point fit routinely
+                # lands at 60-90% of the achievable LCP under noise;
+                # polishing each new best (guarded, one warm dispatch)
+                # lets the terminate_threshold stop rule fire steps
+                # earlier instead of grinding out the full trial
+                # estimate and only then refining. Counts toward the
+                # anytime budget, like any other search work.
+                if self._refine_active() and self._best_lcp < 1.0:
+                    before = self._best_lcp
+                    self._maybe_refine()
+                    if self._best_lcp > before:
+                        visitor(-1.0, self._best_lcp,
+                                self._visitor_transform(needs_global))
 
             fraction_try = self._trial / self.number_of_trials
             fraction_time = ((time.perf_counter() - t0)
@@ -672,6 +693,33 @@ class Match4PCSBase:
         self._stats["phase_seconds"] = dict(timers.phases)
         self.logger.verbose(timers.table())
 
+    def _refine_fn(self):
+        """One jitted program: trimmed-ICP refine + exact LCP of both
+        the current and refined transforms. Built once per run so the
+        in-loop refinement (see :meth:`_perform_steps`) costs one warm
+        dispatch, and pre-compiled with the step so its compile stays
+        off the anytime clock."""
+        if self._refine_jit is None:
+            opts = self.options
+            iters = opts.refine_iterations
+            delta = opts.delta
+
+            def rf(cur, q_pos, p_pos):
+                refined = refine.refine_transform(
+                    cur, q_pos, p_pos, delta, iters=iters)
+                scores = lcp.lcp_scores(
+                    jnp.stack([cur, refined]), q_pos, p_pos, delta)
+                return refined, scores
+
+            self._refine_jit = jax.jit(rf)
+        return self._refine_jit
+
+    def _refine_active(self) -> bool:
+        # refinement fits strictly rigid poses — in similarity mode it
+        # would discard the recovered scale and always be rejected
+        return (self.options.refine_iterations > 0
+                and not self.options.estimate_scale)
+
     def _maybe_refine(self):
         """Trimmed-ICP polish of the best transform (ops/refine.py);
         kept only when the exact LCP does not decrease.
@@ -680,14 +728,10 @@ class Match4PCSBase:
         rigid fit's translation equals qcentroid1 - R @ qcentroid2), so
         refinement runs directly in the centered frames the device
         arrays live in."""
-        opts = self.options
         cur = jnp.asarray(self._transform, jnp.float32)
-        refined = refine.refine_transform(
-            cur, self._d_q_pos, self._d_p_pos, opts.delta,
-            iters=opts.refine_iterations)
-        scores = np.asarray(lcp.lcp_scores(
-            jnp.stack([cur, refined]), self._d_q_pos, self._d_p_pos,
-            opts.delta))
+        refined, scores = self._refine_fn()(
+            cur, self._d_q_pos, self._d_p_pos)
+        scores = np.asarray(scores)
         self._stats["refined_lcp"] = float(scores[1])
         if scores[1] > self._best_lcp:
             self._best_lcp = float(scores[1])

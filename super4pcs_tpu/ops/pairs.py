@@ -123,6 +123,33 @@ def extract_pairs(
     return pairs.astype(jnp.int32), valid, count, dropped
 
 
+def pair_block_geometry(pos_u, pos, need_dirs: bool):
+    """Base-independent distance tensors of one row block, shared by
+    every base edge evaluated on it. Returns ``(diff, dist, d2)`` with
+    exactly one representation populated:
+
+    - ``need_dirs`` (emission-direction filter on): the (bu, n, 3)
+      difference tensor and its norm — the direction filter needs them
+      anyway;
+    - otherwise: the squared-distance matrix via the
+      |q_u|^2 + |q_v|^2 - 2 q_u.q_v expansion — no 3-wide broadcast, no
+      sqrt. f32 cancellation is harmless here: the band edge is 2*d*eps
+      wide in d^2 units while the rounding error is ~1e-7 * extent^2,
+      orders below it for any extent/delta the sampler can resolve (see
+      module docstring; pinned by
+      test_large_coordinate_extent_robustness).
+    """
+    if need_dirs:
+        diff = pos[None, :, :] - pos_u[:, None, :]   # [u, v] = q_v - q_u
+        dist = jnp.linalg.norm(diff, axis=-1)
+        return diff, dist, None
+    d2 = (jnp.sum(pos_u * pos_u, -1)[:, None]
+          + jnp.sum(pos * pos, -1)[None, :]
+          - 2.0 * jnp.einsum('ud,vd->uv', pos_u, pos,
+                             precision='highest'))
+    return None, None, d2
+
+
 def ordered_pair_mask(
     pos_u, normal_u, rgb_u,        # (bu, 3) row slice (the 'first' point)
     pos, normal, rgb,              # (n, 3) all points (the 'second')
@@ -132,6 +159,7 @@ def ordered_pair_mask(
     pair_distance, pair_normals_angle, pair_distance_epsilon,
     cfg: PairFilterConfig,
     u_offset,
+    geom=None,
 ):
     """Ordered-pair predicate on a row block: mask[u, v] == True iff the
     ordered pair (first = u_offset+u, second = v) passes every filter.
@@ -139,21 +167,18 @@ def ordered_pair_mask(
     Same semantics as :func:`pair_emit_masks` (which evaluates the upper
     triangle and mirrors) expressed directly in ordered form, so large
     clouds can be scanned block-by-block with O(block * n) memory.
+
+    ``geom``: optional precomputed :func:`pair_block_geometry` result —
+    the O(block * n) distance tensors are base-independent, so callers
+    evaluating several base edges on one block (the two edges of a 4PCS
+    base) share them instead of recomputing per edge.
     """
     bu = pos_u.shape[0]
     n = pos.shape[0]
-    # the (bu, n, 3) difference tensor (and the sqrt) is only needed by
-    # the emission-direction filter; the distance band alone is cheaper
-    # as a squared-distance band |q_u|^2 + |q_v|^2 - 2 q_u.q_v in
-    # [lo^2, hi^2] — no 3-wide broadcast, no sqrt. f32 cancellation is
-    # harmless here: the band edge is 2*d*eps wide in d^2 units while
-    # the rounding error is ~1e-7 * extent^2, orders below it for any
-    # extent/delta the sampler can resolve (see module docstring;
-    # pinned by test_large_coordinate_extent_robustness).
     need_dirs = cfg.max_angle > 0
-    if need_dirs:
-        diff = pos[None, :, :] - pos_u[:, None, :]   # [u, v] = q_v - q_u
-        dist = jnp.linalg.norm(diff, axis=-1)
+    if geom is None:
+        geom = pair_block_geometry(pos_u, pos, need_dirs)
+    diff, dist, d2 = geom
 
     u_ids = u_offset + jnp.arange(bu, dtype=jnp.int32)
     mask = u_ids[:, None] != jnp.arange(n, dtype=jnp.int32)[None, :]
@@ -161,10 +186,6 @@ def ordered_pair_mask(
         if need_dirs:
             mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
         else:
-            d2 = (jnp.sum(pos_u * pos_u, -1)[:, None]
-                  + jnp.sum(pos * pos, -1)[None, :]
-                  - 2.0 * jnp.einsum('ud,vd->uv', pos_u, pos,
-                                     precision='highest'))
             lo = jnp.maximum(pair_distance - pair_distance_epsilon, 0.0)
             hi = pair_distance + pair_distance_epsilon
             mask &= (d2 >= lo * lo) & (d2 <= hi * hi)
@@ -386,10 +407,34 @@ def _rowcap_scan(pos, normal, rgb, base_pos, base_norm, base_rgb,
     """Shared block scan of the row-capped extraction: per-row masked
     approx_max_k capture. Returns (cols (n_pad, row_cap), hit
     (n_pad, row_cap), rc (n_pad,) exact per-row mask counts, n_pad)."""
+    (out,), n_pad = _rowcap_scan_edges(
+        pos, normal, rgb, base_pos, base_norm, base_rgb,
+        [(edge0, edge1)], pair_distance_epsilon, cfg,
+        row_cap, row_block, recall_target, col_offset)
+    return (*out, n_pad)
+
+
+def _rowcap_scan_edges(pos, normal, rgb, base_pos, base_norm, base_rgb,
+                       edges, pair_distance_epsilon, cfg,
+                       row_cap, row_block, recall_target, col_offset):
+    """Block scan of the row-capped extraction over one or more base
+    edges at once. The O(row_block * n) distance geometry is computed
+    once per block and shared by every edge's mask
+    (:func:`pair_block_geometry`), and all edges' keys go through ONE
+    approx_max_k call — per-row results are identical to running the
+    edges separately (the reduction is row-independent).
+
+    Returns ([(cols (n_pad, row_cap), hit, rc), ...] per edge, n_pad).
+    """
     n = pos.shape[0]
-    b0p, b1p = base_pos[edge0], base_pos[edge1]
-    pair_distance = jnp.linalg.norm(b0p - b1p)
-    pair_normals_angle = jnp.linalg.norm(base_norm[edge0] - base_norm[edge1])
+    need_dirs = cfg.max_angle > 0
+    edge_params = []
+    for (e0, e1) in edges:
+        b0p, b1p = base_pos[e0], base_pos[e1]
+        edge_params.append((
+            e0, e1, b0p, b1p,
+            jnp.linalg.norm(b0p - b1p),
+            jnp.linalg.norm(base_norm[e0] - base_norm[e1])))
 
     n_pad = ((n + row_block - 1) // row_block) * row_block
     pad = n_pad - n
@@ -410,27 +455,44 @@ def _rowcap_scan(pos, normal, rgb, base_pos, base_norm, base_rgb,
     def one_block(_, blk_idx):
         r0 = blk_idx * row_block
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, r0, row_block)
-        mask = ordered_pair_mask(
-            sl(pos_p), sl(norm_p), sl(rgb_p), pos, normal, rgb,
-            b0p, b1p, base_norm[edge0], base_norm[edge1],
-            base_rgb[edge0], base_rgb[edge1],
-            pair_distance, pair_normals_angle, pair_distance_epsilon,
-            cfg, u_offset=r0)
+        pos_b, norm_b, rgb_b = sl(pos_p), sl(norm_p), sl(rgb_p)
+        geom = pair_block_geometry(pos_b, pos, need_dirs)
         row_ids = r0 + jnp.arange(row_block, dtype=jnp.int32)
-        mask &= (row_ids < n)[:, None]
-        # first row_cap hit columns per row (in rotated rank order):
-        # approx_max_k over -rank keys (descending values == ascending
-        # ranks)
-        keys = jnp.where(mask, neg_rank[None, :], -jnp.inf)
+        row_live = (row_ids < n)[:, None]
+        keys = []
+        rcs = []
+        for (e0, e1, b0p, b1p, pdist, pnang) in edge_params:
+            mask = ordered_pair_mask(
+                pos_b, norm_b, rgb_b, pos, normal, rgb,
+                b0p, b1p, base_norm[e0], base_norm[e1],
+                base_rgb[e0], base_rgb[e1],
+                pdist, pnang, pair_distance_epsilon,
+                cfg, u_offset=r0, geom=geom)
+            mask &= row_live
+            # first row_cap hit columns per row (in rotated rank
+            # order): approx_max_k over -rank keys (descending values
+            # == ascending ranks)
+            keys.append(jnp.where(mask, neg_rank[None, :], -jnp.inf))
+            rcs.append(jnp.sum(mask, axis=1, dtype=jnp.int32))
         vals, cols = jax.lax.approx_max_k(
-            keys, row_cap, recall_target=recall_target)
-        rc = jnp.sum(mask, axis=1, dtype=jnp.int32)
-        return 0, (cols.astype(jnp.int32), vals > -jnp.inf, rc)
+            jnp.concatenate(keys, axis=0), row_cap,
+            recall_target=recall_target)
+        return 0, (cols.astype(jnp.int32), vals > -jnp.inf,
+                   jnp.stack(rcs))
 
     _, (cols, hit, rc) = jax.lax.scan(
         one_block, 0, jnp.arange(n_blocks, dtype=jnp.int32))
-    return (cols.reshape(n_pad, row_cap), hit.reshape(n_pad, row_cap),
-            rc.reshape(n_pad), n_pad)
+    # un-interleave: scan stacked each block's (n_edges*row_block, cap)
+    ne = len(edges)
+    cols = cols.reshape(n_blocks, ne, row_block, row_cap)
+    hit = hit.reshape(n_blocks, ne, row_block, row_cap)
+    rc = rc.reshape(n_blocks, ne, row_block)
+    outs = []
+    for e in range(ne):
+        outs.append((cols[:, e].reshape(n_pad, row_cap),
+                     hit[:, e].reshape(n_pad, row_cap),
+                     rc[:, e].reshape(n_pad)))
+    return outs, n_pad
 
 
 def extract_pairs_rowcap_layout(
@@ -469,6 +531,41 @@ def extract_pairs_rowcap_layout(
     count = jnp.sum(rc, dtype=jnp.int32)
     found = jnp.sum(hit, dtype=jnp.int32)
     return pairs, valid, count, count - found
+
+
+def extract_pairs_rowcap_layout_both(
+    pos, normal, rgb,
+    base_pos, base_norm, base_rgb,
+    pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    row_cap: int,
+    row_block: int = 2048,
+    recall_target: float = 0.9,
+    col_offset=None,
+):
+    """Both base edges' row-capped extractions in one fused block scan.
+
+    Outputs are identical to calling :func:`extract_pairs_rowcap_layout`
+    with edges (0, 1) and (2, 3) separately (pinned by a parity test),
+    but the O(row_block * n) distance geometry is computed once per
+    block instead of twice and both edges' captures go through a single
+    approx_max_k call — the extraction phase of a device step does half
+    the work. Returns ((pairs, valid, count, dropped) for edge (0, 1),
+    same for edge (2, 3)).
+    """
+    outs, n_pad = _rowcap_scan_edges(
+        pos, normal, rgb, base_pos, base_norm, base_rgb,
+        [(0, 1), (2, 3)], pair_distance_epsilon, cfg,
+        row_cap, row_block, recall_target, col_offset)
+    u = jnp.arange(n_pad * row_cap, dtype=jnp.int32) // row_cap
+    results = []
+    for cols, hit, rc in outs:
+        pairs = jnp.stack([u, cols.reshape(-1)], axis=-1)
+        valid = hit.reshape(-1)
+        count = jnp.sum(rc, dtype=jnp.int32)
+        found = jnp.sum(hit, dtype=jnp.int32)
+        results.append((pairs, valid, count, count - found))
+    return tuple(results)
 
 
 def _round_up_32(x: int) -> int:

@@ -119,11 +119,15 @@ class Options:
     #: HEALPix nside resolution of the "healpix" direction filter
     #: (tolerance is implicit in the pixel size, as in the reference).
     healpix_nside: int = 4
-    #: Trimmed-ICP refinement iterations applied to the best transform
-    #: after the search (a quality stage beyond the reference — RANSAC
-    #: 4-point fits leave LCP on the table; guarded: the refined pose is
-    #: kept only if the exact LCP does not decrease, so results are
-    #: always equal-or-better than the reference contract). 0 disables.
+    #: Trimmed-ICP refinement iterations applied to every new best
+    #: transform inside the anytime loop and once more after the search
+    #: (a quality stage beyond the reference — RANSAC 4-point fits
+    #: leave LCP on the table; guarded: the refined pose is kept only
+    #: if the exact LCP does not decrease, so results are always
+    #: equal-or-better than the reference contract). Because the
+    #: ``terminate_threshold`` stop rule sees the refined score, a run
+    #: stops as soon as a polished pose clears it instead of grinding
+    #: out the full trial estimate. 0 disables.
     refine_iterations: int = 8
     #: Two-stage LCP verification (the batched analog of the reference
     #: Verify's early exit, ref:match4pcsBase.cc:520-558): rank all

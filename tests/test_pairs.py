@@ -333,6 +333,44 @@ def test_rowcap_layout_matches_compacted(rng):
         assert (got[:, 0] == slots // row_cap).all()
 
 
+def test_rowcap_layout_both_matches_separate(rng):
+    """The fused two-edge scan (shared block geometry, one approx_max_k
+    call — the production extraction of the large-nq step) must emit
+    exactly what two separate per-edge layout calls emit, including the
+    count/dropped accounting, for every filter configuration."""
+    from super4pcs_tpu.ops.pairs import (extract_pairs_rowcap_layout,
+                                         extract_pairs_rowcap_layout_both)
+    n = 160
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rgb = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+    base = (jnp.asarray(pos[:4]), jnp.asarray(nrm[:4]),
+            jnp.asarray(rgb[:4]))
+    cfgs = [PairFilterConfig(),
+            PairFilterConfig(max_normal_difference=40.0,
+                             max_color_distance=200.0,
+                             max_translation_distance=2.5),
+            PairFilterConfig(max_angle=120.0)]
+    for cfg in cfgs:
+        for row_cap, off in ((32, None), (8, jnp.int32(53))):
+            args = (jnp.asarray(pos), jnp.asarray(nrm),
+                    jnp.asarray(rgb), *base)
+            fused = extract_pairs_rowcap_layout_both(
+                *args, 0.2, cfg, row_cap=row_cap, row_block=64,
+                col_offset=off)
+            for edge, (pf, vf, cf, df) in zip(((0, 1), (2, 3)), fused):
+                ps, vs, cs, ds = extract_pairs_rowcap_layout(
+                    *args, *edge, 0.2, cfg, row_cap=row_cap,
+                    row_block=64, col_offset=off)
+                assert int(cf) == int(cs) and int(df) == int(ds)
+                np.testing.assert_array_equal(np.asarray(vf),
+                                              np.asarray(vs))
+                got_f = np.asarray(pf)[np.asarray(vf)]
+                got_s = np.asarray(ps)[np.asarray(vs)]
+                np.testing.assert_array_equal(got_f, got_s)
+
+
 def test_rowcap_col_offset(rng):
     """col_offset rotates the per-row keep preference: with ample cap
     the pair *set* is unchanged for any offset; under cap pressure
