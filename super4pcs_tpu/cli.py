@@ -50,7 +50,8 @@ DEFAULT_OBJ_OUTPUT = "output.obj"   # ref:demo-utils.h:65
 TPU_OPT_KEYS = frozenset({
     "bases_per_step", "max_pairs", "max_quads", "max_candidates",
     "pair_row_cap", "pair_recall_target", "cone_cos_tolerance",
-    "n_triangle_trials",
+    "n_triangle_trials", "search_delta_factor",
+    "search_escalation_factor",
     "cell_candidates", "join_q_budget", "join_probe_budget",
     "direction_bins",
     "healpix_nside", "refine_iterations", "verify_top_k", "coarse_q",

@@ -82,6 +82,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _probe_window(search_delta_factor: float) -> int:
+    """Cells per axis the grid join probes: the join radius scales with
+    search_delta_factor while the cell stays at the exact-delta scale,
+    so the window is ceil(factor) + 1 (2 — the classic 8-corner probe —
+    at factor 1; mirrors the w computed in find_congruent_quads_grid)."""
+    return int(math.ceil(search_delta_factor - 1e-6)) + 1
+
+
 def _build_try_base(opts: Options, nq: int, cone_tol: float):
     """Build the single-base trial function shared by the production
     step (:func:`build_step`) and the phase probes
@@ -100,8 +108,12 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     # pairs survive the cap), so the heuristic widens: 64 * nq measured
     # 3/3 seeds >= 0.97 LCP on the fine-delta 100k config vs flaky
     # 0.78-0.99 at 16 * nq.
+    # (widened proportionally under coarse search: the distance band —
+    # and so the per-row hit count — scales with search_delta_factor)
     k_pairs = opts.max_pairs or _round_up(
-        min(nq * nq, max((64 if nq > 2048 else 16) * nq, 512)), 128)
+        min(nq * nq,
+            max(int((64 if nq > 2048 else 16) * nq
+                    * max(opts.search_delta_factor, 1.0)), 512)), 128)
     k_quads = _round_up(
         opts.max_quads or min(max(8 * nq, 512), 8192), 128)
     n_cands = min(opts.max_candidates or opts.bases_per_step * k_quads,
@@ -114,14 +126,18 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
         max_angle=opts.max_angle,
         use_distance_filter=not opts.estimate_scale,
     )
-    eps_pairs = DISTANCE_FACTOR * opts.delta       # ref:hpp:328-331
+    # Search-stage tolerances widen by search_delta_factor (1.0 = the
+    # reference contract); verification/refinement stay exact at delta
+    # (see Options.search_delta_factor).
+    sf = opts.search_delta_factor
+    eps_pairs = DISTANCE_FACTOR * opts.delta * sf  # ref:hpp:328-331
     # Join radius: squared-vs-squared contract — deliberate divergence
     # from the reference's squared-vs-raw quirk (see ops/congruent.py
     # module docstring).
-    dist_thr = DISTANCE_FACTOR * opts.delta        # ref:hpp:340-347
+    dist_thr = DISTANCE_FACTOR * opts.delta * sf   # ref:hpp:340-347
     max_angle_rad = (opts.max_angle * math.pi / 180.0
                      if opts.max_angle >= 0 else -1.0)
-    rms_gate = DISTANCE_FACTOR * opts.delta        # ref:hpp:439
+    rms_gate = DISTANCE_FACTOR * opts.delta * sf   # ref:hpp:439
     n_tri = opts.n_triangle_trials
     b_per_step = opts.bases_per_step
     delta = opts.delta
@@ -179,12 +195,21 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
                 q_budget=opts.join_q_budget,
                 direction_bins=opts.direction_bins,
                 healpix_nside=opts.healpix_nside,
+                # cell size stays at the exact-delta scale so per-cell
+                # occupancy (and the cell_candidates cap pressure) does
+                # not grow with search_delta_factor — the coarse radius
+                # probes a wider window of fine cells instead
+                cell_size=2.0 * DISTANCE_FACTOR * opts.delta,
                 row_cap=join_row_cap,
                 # probe compaction only pays (and only risks budget
-                # drops) on the large-nq layout path
+                # drops) on the large-nq layout path. The default
+                # budget scales with the probe-window volume (w^3
+                # probes per query instead of 8 under coarse search).
                 probe_budget=(
                     (opts.join_probe_budget
-                     or 2 * (opts.join_q_budget or 8192))
+                     or (2 * (opts.join_q_budget or 8192)
+                         * _probe_window(opts.search_delta_factor) ** 3
+                         ) // 8)
                     if join_row_cap is not None else None))
         qvalid = qvalid & bvalid
 
@@ -233,6 +258,15 @@ def build_step(opts: Options, nq: int, cone_tol: float):
     k_pairs, k_quads, n_cands = caps
     b_per_step = opts.bases_per_step
     delta = opts.delta
+    # Coarse-search candidate ranking: with search_delta_factor > 1 the
+    # 4-point fits are only located to sf * delta, so their EXACT-delta
+    # LCP is depressed and a true-basin candidate can lose the step
+    # argmax to a stable false one. Rank candidates at the search
+    # tolerance (where a true basin's inlier fraction approaches the
+    # overlap) and report the selected candidate's exact-delta score
+    # separately — adoption/termination stay on the exact metric, the
+    # guarded refine decides whether a rank-winner becomes the best.
+    rank_delta = delta * opts.search_delta_factor
 
     def step(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         """One device step over ``keys.shape[0]`` bases. Written to be
@@ -266,22 +300,29 @@ def build_step(opts: Options, nq: int, cone_tol: float):
             cands_dropped = jnp.maximum(n_valid - n_cands_local, 0)
         if opts.verify_top_k > 0:
             scores, sel = lcp.lcp_scores_two_stage(
-                cand_t, q_pos, p_pos, delta,
+                cand_t, q_pos, p_pos, rank_delta,
                 coarse_q=opts.coarse_q, coarse_p=opts.coarse_p,
                 top_k=opts.verify_top_k, live=live)
             live = live[sel]
             cand_t = cand_t[sel]
             idx = idx[sel]
         else:
-            scores = lcp.lcp_scores(cand_t, q_pos, p_pos, delta)
+            scores = lcp.lcp_scores(cand_t, q_pos, p_pos, rank_delta)
         scores = jnp.where(live, scores, -1.0)
 
         best = jnp.argmax(scores)
+        if rank_delta != delta:
+            exact = lcp.lcp_score_single(
+                cand_t[best], q_pos, p_pos, jnp.float32(delta))
+            exact = jnp.where(scores[best] >= 0, exact, -1.0)
+        else:
+            exact = scores[best]
         flat_i = idx[best]
         b = flat_i // k_quads
         qi = flat_i % k_quads
         return dict(
-            lcp=scores[best],
+            lcp=exact,
+            rank_lcp=scores[best],
             transform=cand_t[best],
             qcentroid1=tb["centroid1"][b],
             qcentroid2=tb["centroid2"][b, qi],
@@ -480,6 +521,12 @@ class Match4PCSBase:
         else:
             n_trials = 0
         self.number_of_trials = max(n_trials, _K_MIN_TRIALS)
+        #: trial-budget multiplier — +1 per escalation (the budget is
+        #: number_of_trials * this, so post-init overrides of
+        #: number_of_trials — e.g. in tests — stay effective)
+        self._budget_mult = 1
+        #: live search factor (escalation raises it mid-run)
+        self._search_sf = opts.search_delta_factor
 
         self.logger.verbose("norm_max_dist: ", opts.delta)
 
@@ -502,6 +549,7 @@ class Match4PCSBase:
         }
 
         # best-so-far state (ref:match4pcsBase.h:131-161)
+        self._best_rank = -np.inf       # coarse-search rank metric
         self._transform = np.eye(4, dtype=np.float32)
         self._qcentroid1 = np.zeros(3, dtype=np.float32)
         self._qcentroid2 = np.zeros(3, dtype=np.float32)
@@ -531,8 +579,18 @@ class Match4PCSBase:
     # jitted device step: B complete RANSAC trials + batched verify
     # ------------------------------------------------------------------
 
+    @property
+    def _trial_budget(self) -> int:
+        return self.number_of_trials * self._budget_mult
+
+    def _opts_eff(self) -> Options:
+        """Options with the LIVE search factor (see _escalate)."""
+        if self._search_sf == self.options.search_delta_factor:
+            return self.options
+        return self.options.replace(search_delta_factor=self._search_sf)
+
     def _build_step(self):
-        opts = self.options
+        opts = self._opts_eff()
         nq = int(self._d_q_pos.shape[0])
         step, caps = build_step(opts, nq, self._cone_mode)
         self._step_raw = step
@@ -613,6 +671,7 @@ class Match4PCSBase:
             self._stats["cell_dropped"] += int(counts[:, 3].sum())
             self._stats["cands_overflow"] += int(out["cands_dropped"])
 
+            step_rank = float(out.get("rank_lcp", step_lcp))
             if step_lcp > self._best_lcp:
                 self._best_lcp = step_lcp
                 self._transform = np.asarray(out["transform"])
@@ -636,8 +695,23 @@ class Match4PCSBase:
                     if self._best_lcp > before:
                         visitor(-1.0, self._best_lcp,
                                 self._visitor_transform(needs_global))
+            elif (step_rank > self._best_rank
+                  and self._search_sf != 1.0
+                  and self._refine_active() and self._best_lcp < 1.0):
+                # Coarse-search mode: the step winner was selected on
+                # the rank metric (sf * delta) and its exact score did
+                # not beat the best — but a rank improvement usually
+                # means a better-located basin whose 4-point fit is
+                # merely sloppy. Attempt the guarded refine on it; it
+                # is adopted only if its refined exact-delta LCP wins.
+                before = self._best_lcp
+                self._refine_candidate(out)
+                if self._best_lcp > before:
+                    visitor(-1.0, self._best_lcp,
+                            self._visitor_transform(needs_global))
+            self._best_rank = max(self._best_rank, step_rank)
 
-            fraction_try = self._trial / self.number_of_trials
+            fraction_try = self._trial / self._trial_budget
             fraction_time = ((time.perf_counter() - t0)
                              / opts.max_time_seconds)
             fraction = (fraction_time if opts.use_full_time_budget
@@ -648,15 +722,58 @@ class Match4PCSBase:
             # stop rules (ref:hpp:255); use_full_time_budget drops the
             # trial-estimate stop (see Options)
             if (self._best_lcp > opts.terminate_threshold
-                    or (self._trial > self.number_of_trials
-                        and not opts.use_full_time_budget)
-                    or fraction >= 0.99
+                    or fraction_time >= 0.99
                     or self._best_lcp == 1.0):
                 break
+            if fraction_try >= 0.99 or self._trial > self._trial_budget:
+                # trial estimate exhausted below the threshold: escalate
+                # the search factor when configured and the remaining
+                # wall budget can amortize the rebuilt program's compile
+                # (see Options.search_escalation_factor), else stop as
+                # the reference would.
+                remaining = opts.max_time_seconds * (1.0 - fraction_time)
+                if (opts.search_escalation_factor > self._search_sf
+                        and remaining > max(0.25 * opts.max_time_seconds,
+                                            15.0)):
+                    self._escalate(diam)
+                    # relaunch with the rebuilt program; the discarded
+                    # in-flight step's keys are re-explored at the
+                    # wider tolerance
+                    inflight = [launch(step_idx)]
+                    continue
+                if not opts.use_full_time_budget:
+                    break
 
         # search time excluding the one-time compile (the reference's
         # totalTime analog, ref:match4pcsBase.hpp:77-83)
         self._stats["search_seconds"] = time.perf_counter() - t0
+
+    def _escalate(self, diam):
+        """Mid-run escalation to the coarse search factor (see
+        Options.search_escalation_factor): rebuild + compile the step
+        and refine programs at the new factor and extend the trial
+        budget by another estimate. Runs inside the anytime clock —
+        time-to-solution stays honest."""
+        esc = self.options.search_escalation_factor
+        self.logger.verbose("Trial estimate exhausted at LCP ",
+                            self._best_lcp,
+                            "; escalating search_delta_factor to ", esc)
+        tc = time.perf_counter()
+        self._search_sf = esc
+        self._refine_jit = None
+        self._build_step()
+        args = (self._step_keys(0), diam,
+                self._d_p_pos, self._d_p_norm, self._d_p_rgb,
+                self._d_q_pos, self._d_q_norm, self._d_q_rgb)
+        self._step_fn = self._step_fn.lower(*args).compile()
+        if self._refine_active():
+            self._refine_jit = self._refine_fn().lower(
+                jnp.eye(4, dtype=jnp.float32), self._d_q_pos,
+                self._d_p_pos).compile()
+        self._budget_mult += 1
+        self._stats["escalation_compile_seconds"] = (
+            time.perf_counter() - tc)
+        self._stats["escalated_to"] = esc
 
     # ------------------------------------------------------------------
 
@@ -669,7 +786,7 @@ class Match4PCSBase:
         from .utils.timer import PhaseTimers
 
         nq = int(self._d_q_pos.shape[0])
-        probes = build_phase_probes(self.options, nq, self._cone_mode)
+        probes = build_phase_probes(self._opts_eff(), nq, self._cone_mode)
 
         def best_of(fn):
             jax.block_until_ready(fn(*args))       # compile + warm
@@ -704,9 +821,14 @@ class Match4PCSBase:
             iters = opts.refine_iterations
             delta = opts.delta
 
+            sf = self._search_sf
+
             def rf(cur, q_pos, p_pos):
+                # trim radius opens at the search tolerance (coarse-
+                # search candidates are only located to sf * delta)
                 refined = refine.refine_transform(
-                    cur, q_pos, p_pos, delta, iters=iters)
+                    cur, q_pos, p_pos, delta, iters=iters,
+                    start_factor=sf)
                 scores = lcp.lcp_scores(
                     jnp.stack([cur, refined]), q_pos, p_pos, delta)
                 return refined, scores
@@ -719,6 +841,28 @@ class Match4PCSBase:
         # would discard the recovered scale and always be rejected
         return (self.options.refine_iterations > 0
                 and not self.options.estimate_scale)
+
+    def _refine_candidate(self, out):
+        """Guarded refine of a step's selected candidate that did NOT
+        beat the exact best (coarse-search rank-improvement path, see
+        :meth:`_perform_steps`). Adopts the refined pose — with this
+        step's base/congruent bookkeeping — only if its exact-delta LCP
+        wins."""
+        cur = jnp.asarray(np.asarray(out["transform"]), jnp.float32)
+        refined, scores = self._refine_fn()(
+            cur, self._d_q_pos, self._d_p_pos)
+        scores = np.asarray(scores)
+        self._stats["refined_lcp"] = float(scores[1])
+        if scores[1] > self._best_lcp:
+            self._best_lcp = float(scores[1])
+            refined = np.asarray(refined)
+            # refined translation is complete in the centered frames
+            # (see _maybe_refine / _global_transform)
+            self._transform = refined
+            self._qcentroid1 = refined[:3, 3].copy()
+            self._qcentroid2 = np.zeros(3, np.float32)
+            self._base_ids = np.asarray(out["base_ids"])
+            self._congruent_ids = np.asarray(out["congruent_ids"])
 
     def _maybe_refine(self):
         """Trimmed-ICP polish of the best transform (ops/refine.py);
@@ -761,6 +905,9 @@ class Match4PCSBase:
         return {
             "trial": self._trial,
             "best_lcp": self._best_lcp,
+            "best_rank": self._best_rank,
+            "search_sf": self._search_sf,
+            "budget_mult": self._budget_mult,
             "initial_lcp": self._initial_lcp,
             "transform": self._transform.tolist(),
             "qcentroid1": self._qcentroid1.tolist(),
@@ -776,6 +923,16 @@ class Match4PCSBase:
         have."""
         self._trial = int(state["trial"])
         self._best_lcp = float(state["best_lcp"])
+        self._best_rank = float(state.get("best_rank", -np.inf))
+        self._budget_mult = int(state.get("budget_mult",
+                                          self._budget_mult))
+        sf = float(state.get("search_sf", self._search_sf))
+        if sf != self._search_sf:
+            # checkpoint was taken post-escalation: rebuild at its
+            # factor so the resumed search continues where it left off
+            self._search_sf = sf
+            self._refine_jit = None
+            self._build_step()
         self._initial_lcp = float(state.get("initial_lcp",
                                             self._initial_lcp))
         self._transform = np.asarray(state["transform"], np.float32)

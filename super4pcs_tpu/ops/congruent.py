@@ -169,60 +169,19 @@ def find_congruent_quads(
 # candidates that the exact distance mask removes).
 _HP1, _HP2, _HP3 = 73856093, 19349669, 83492791
 
-# Corner-neighbor offsets: with cell size 2r, a radius-r ball around any
-# query intersects at most 2 cells per axis -> 8 cells total.
-_CORNER_OFFSETS = np.array(
-    [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)],
-    dtype=np.int32)
+# Probe-window offsets: a radius-r ball around any query intersects at
+# most ceil(2r / cell) + 1 cells per axis (the classic 8-corner scheme
+# is the w = 2 case, cell size >= 2r).
+def _window_offsets(w: int):
+    r = range(w)
+    return np.array([(i, j, k) for i in r for j in r for k in r],
+                    dtype=np.int32)
 
 
 def _cell_hash(cells):
     """int32 spatial hash of (..., 3) integer cell coordinates."""
     return (cells[..., 0] * _HP1) ^ (cells[..., 1] * _HP2) \
         ^ (cells[..., 2] * _HP3)
-
-
-def _oct_encode(dirs):
-    """Octahedral-map f16x2 packing of unit vectors into one int32.
-
-    Folds the unit sphere onto the [-1,1]^2 octahedral square and
-    stores the two coordinates as float16 halves. Quantization error is
-    ~5e-4 per coordinate (~1e-3 on a cosine) — two orders of magnitude
-    below the default cone tolerance (0.30, Options.cone_cos_tolerance)
-    and far finer than the reference's own 7^3 direction binning
-    (ref:accelerators/normalset.h:114-124). Lets the sorted join carry
-    one direction operand instead of three.
-    """
-    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
-    s = jnp.maximum(jnp.abs(x) + jnp.abs(y) + jnp.abs(z), 1e-30)
-    px, py = x / s, y / s
-    sx = jnp.where(px >= 0, 1.0, -1.0)
-    sy = jnp.where(py >= 0, 1.0, -1.0)
-    u = jnp.where(z < 0, (1.0 - jnp.abs(py)) * sx, px)
-    v = jnp.where(z < 0, (1.0 - jnp.abs(px)) * sy, py)
-    ub = jax.lax.bitcast_convert_type(u.astype(jnp.float16), jnp.uint16)
-    vb = jax.lax.bitcast_convert_type(v.astype(jnp.float16), jnp.uint16)
-    return ub.astype(jnp.int32) | (vb.astype(jnp.int32) << 16)
-
-
-def _oct_decode(enc):
-    """Inverse of :func:`_oct_encode`. Returns the unit vector as three
-    same-shape component arrays — separate components keep every
-    intermediate 2-D, avoiding a minor-dim-3 tensor that would tile to
-    a heavily padded TPU layout."""
-    u = jax.lax.bitcast_convert_type(
-        (enc & 0xffff).astype(jnp.uint16),
-        jnp.float16).astype(jnp.float32)
-    v = jax.lax.bitcast_convert_type(
-        ((enc >> 16) & 0xffff).astype(jnp.uint16),
-        jnp.float16).astype(jnp.float32)
-    z = 1.0 - jnp.abs(u) - jnp.abs(v)
-    sx = jnp.where(u >= 0, 1.0, -1.0)
-    sy = jnp.where(v >= 0, 1.0, -1.0)
-    x = jnp.where(z < 0, (1.0 - jnp.abs(v)) * sx, u)
-    y = jnp.where(z < 0, (1.0 - jnp.abs(u)) * sy, v)
-    n = jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-30)
-    return x / n, y / n, z / n
 
 
 def find_congruent_quads_grid(
@@ -241,6 +200,7 @@ def find_congruent_quads_grid(
     healpix_samples: int = 32,
     row_cap: int | None = None,
     probe_budget: int | None = None,
+    cell_size: float | None = None,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -248,15 +208,23 @@ def find_congruent_quads_grid(
     + direction-bin cone rasterization (ref:src/super4pcs/accelerators/
     normalset.hpp:110-210, algorithms/super4pcs.cc:80-177): instead of
     pointer grids and circle rendering, invariant points of the first
-    pair set are hashed into cells of size ``2 * distance_threshold``
-    and sorted by hash; each second-set invariant point probes the 8
-    corner-neighbor cells via boundary queries folded into the same
+    pair set are hashed into cells of size ``cell_size`` (default
+    ``2 * distance_threshold``) and sorted by hash; each second-set
+    invariant point probes the w^3 window cells covering its radius-r
+    ball (w = ceil(2r / cell) + 1; the classic 8-corner scheme when the
+    cell is at least 2r) via boundary queries folded into the same
     sort, takes up to ``cell_candidates`` entries per cell, and
-    validates exactly (distance + cone mask). Exact up to the per-cell
-    candidate cap (overflow is counted) and the stored direction's
-    octahedral-f16 quantization (~1e-3 on a cosine, vs the default
-    cone tolerance 0.30 — see :func:`_oct_encode`); hash collisions
-    only add candidates that the exact distance mask removes.
+    validates exactly (distance + cone mask). Decoupling ``cell_size``
+    from the radius keeps per-cell occupancy — and so the
+    ``cell_candidates`` cap pressure — constant when a coarse-search
+    radius (Options.search_delta_factor) widens the join: the wider
+    ball probes more fine cells instead of fewer, fatter ones.
+
+    The sort carries only the table index; probed slots recompute their
+    pair's invariant point and direction exactly from ``pos`` at
+    validation (no quantized direction column). Exact up to the
+    per-cell candidate cap (overflow is counted); hash collisions only
+    add candidates that the exact distance mask removes.
 
     ``q_budget`` bounds how many *valid* second-side pairs are probed
     per call (default: all up to 8192). The compaction to the budget
@@ -289,39 +257,60 @@ def find_congruent_quads_grid(
     Returns (quads, valid, count, dropped).
     """
     r = distance_threshold
-    cell = 2.0 * r
+    cell = cell_size if cell_size is not None else 2.0 * r
+    # cells per axis covering a radius-r ball (2 for the default
+    # cell = 2r; larger when a coarse-search radius outgrows the cell)
+    w = int(np.ceil(2.0 * r / cell - 1e-6)) + 1   # eps guards float wobble
+    n_probe = w * w * w
     k1 = pairs1.shape[0]
     k2 = pairs2.shape[0]
     L = cell_candidates
 
     # gather each pair's endpoints once; e1 and the direction both
-    # derive from (a1, b1)
+    # derive from (a1, b1). Everything K1-sized is kept as 1-D
+    # component columns: a (K1, 3) tensor tiles to a minor-dim-padded
+    # TPU layout (3 -> 128), a 64x HBM blowup that OOMs at the
+    # fine-delta operating point (measured 21.5 GB for the vmapped
+    # invariant-point tensor at K1=2.6M x 16 bases).
+    cols1 = pairs1[:, 1]
     if row_cap is not None:
         # rows are 0..n_rows-1 in order (n_rows may exceed len(pos) by
         # block padding; those rows are invalid and clamp like gathers)
         n_rows = k1 // row_cap
-        p1 = pos[jnp.minimum(jnp.arange(n_rows), pos.shape[0] - 1)]
-        a1 = jnp.broadcast_to(p1[:, None, :],
-                              (n_rows, row_cap, 3)).reshape(k1, 3)
+        row_clamp = jnp.minimum(jnp.arange(n_rows), pos.shape[0] - 1)
+    def _e1_components(rows, cols):
+        """Invariant-point components of table pairs (rows, cols) —
+        shared by the hash below and the lazy validation (identical
+        arithmetic to the dense oracle's ``invariant_points``)."""
+        out = []
+        for c in range(3):
+            pc = pos[:, c]
+            ac = pc[rows]
+            bc = pc[cols]
+            out.append((ac, bc, ac + invariant1 * (bc - ac)))
+        return out
+
+    if row_cap is not None:
+        rows1 = jnp.broadcast_to(
+            row_clamp[:, None], (n_rows, row_cap)).reshape(k1)
     else:
-        a1 = pos[pairs1[:, 0]]
-    b1 = pos[pairs1[:, 1]]
-    e1 = a1 + invariant1 * (b1 - a1)                   # (K1, 3)
+        rows1 = pairs1[:, 0]
+    e1c = [e for (_, _, e) in _e1_components(rows1, cols1)]
 
     # hash e1 cells; invalid entries get a sentinel hash kept out of the
     # way by the sort
-    cells1 = jnp.floor(e1 / cell).astype(jnp.int32)
-    h1 = _cell_hash(cells1)
+    h1 = (jnp.floor(e1c[0] / cell).astype(jnp.int32) * _HP1) \
+        ^ (jnp.floor(e1c[1] / cell).astype(jnp.int32) * _HP2) \
+        ^ (jnp.floor(e1c[2] / cell).astype(jnp.int32) * _HP3)
     h1 = jnp.where(valid1, h1, jnp.int32(2147483647))
 
     # The table is sorted ONCE (further below, fused with the probe
-    # boundary queries), carrying every per-entry column as sort
-    # operands: e1 as three f32 columns, the direction as ONE packed
-    # int32 column (octahedral f16x2 in cone mode, ring-scheme pixel id
-    # in healpix mode), plus the original index. Carrying payloads
-    # through the sort beats argsort-then-gather (measured 43 vs 219 ms
-    # per 16-base step at K1=512k: TPU gathers are element-at-a-time,
-    # sort payload movement is vectorized).
+    # boundary queries), carrying ONLY the original index as payload:
+    # the probed slots re-derive their pair identity from the index and
+    # recompute invariant point + direction from the small ``pos``
+    # table at validation time — (probe_budget * L)-sized gathers —
+    # instead of dragging e1 / direction columns through every
+    # compare-exchange pass of a K1-sized sort.
     # No `valid` payload column: invalid rows carry the sentinel hash
     # (INT32_MAX, packed group 0x7ffffffe), and no probe can return a
     # sentinel-region slot — a query cell in that top group gets an
@@ -331,16 +320,6 @@ def find_congruent_quads_grid(
     # without the column, at 2^-31 odds per entry.)
     use_dir = cone_cos_tolerance >= 0
     use_healpix = use_dir and direction_bins == "healpix"
-    if use_dir:
-        d1 = b1 - a1
-        dir1 = d1 / jnp.maximum(
-            jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-30)
-    extra_col = None                              # int32 direction bin
-    if use_healpix:
-        extra_col = _healpix.vec2pix_ring(healpix_nside,
-                                          dir1).astype(jnp.int32)
-    elif use_dir:
-        extra_col = _oct_encode(dir1)
 
     # Q-side budget: compact the first qb valid second-side pairs
     qb = min(q_budget or 8192, k2)
@@ -350,14 +329,14 @@ def find_congruent_quads_grid(
     b2 = pos[pairs2b[:, 1]]
     e2 = a2 + invariant2 * (b2 - a2)                           # (QB, 3)
 
-    # 8 corner cells per query; [hq, hq+2] boundary queries (in packed
-    # key units, see below) find both range ends. Caveat: a cell whose
-    # packed hash group is the top one (0x7ffffffe) wraps to an empty
-    # range — that group already holds the invalid-entry sentinel
-    # today, so nothing new is lost.
+    # w^3 window cells per query (8 corners at the default cell = 2r);
+    # [hq, hq+2] boundary queries (in packed key units, see below) find
+    # both range ends. Caveat: a cell whose packed hash group is the
+    # top one (0x7ffffffe) wraps to an empty range — that group already
+    # holds the invalid-entry sentinel today, so nothing new is lost.
     base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)   # (QB, 3)
-    probe = base_cell[:, None, :] + jnp.asarray(_CORNER_OFFSETS)  # (QB,8,3)
-    hq_flat = _cell_hash(probe).reshape(-1)                    # (QB*8,)
+    probe = base_cell[:, None, :] + jnp.asarray(_window_offsets(w))
+    hq_flat = _cell_hash(probe).reshape(-1)                    # (QB*w^3,)
     n2q = hq_flat.shape[0]
     total = k1 + 2 * n2q
 
@@ -374,32 +353,16 @@ def find_congruent_quads_grid(
     # key adds a full compare per exchange; measured win in
     # tools/join_micro.py). Clearing the hash's low bit merges cells h
     # and h^1 into one group — a superset window, removed by the exact
-    # distance mask like any other hash collision. Query rows carry
-    # poisoned payloads (+inf invariant point) so a window that
+    # distance mask like any other hash collision. A window that
     # overruns its cell's contiguous table run into interleaved query
-    # rows can never validate them.
+    # rows is masked exactly below (the slot's sorted key carries the
+    # table tag bit).
     group1 = h1 & ~jnp.int32(1)            # sentinel 0x7fffffff -> ..fe
     groupq = hq_flat & ~jnp.int32(1)
     keys = jnp.concatenate([group1 | 1, groupq, groupq + 2])
 
-    def _pad(col, pv):
-        return jnp.concatenate(
-            [col, jnp.full((2 * n2q,), pv, col.dtype)])
-    ops = [_pad(e1[:, 0], jnp.inf), _pad(e1[:, 1], jnp.inf),
-           _pad(e1[:, 2], jnp.inf)]
-    if extra_col is not None:
-        ops.append(_pad(extra_col, 0))
-    sorted_ops = jax.lax.sort(
-        (keys, *ops,
-         jnp.arange(total, dtype=jnp.int32)), num_keys=1)
-    sk = sorted_ops[0]
-    # keep the table TRANSPOSED, (3, total): a gathered (N, nc) f32
-    # block tiles as T(8,128) with the nc-wide minor dim padded to 128
-    # — an 18x HBM blowup (measured 7.9 GB at N=16M, an OOM); with the
-    # big axis minor, padding is negligible.
-    packed = jnp.stack(sorted_ops[1:4], axis=0)               # (3, total)
-    pextra = sorted_ops[4] if extra_col is not None else None
-    order = sorted_ops[-1]
+    sk, order = jax.lax.sort(
+        (keys, jnp.arange(total, dtype=jnp.int32)), num_keys=1)
 
     # run boundaries: within one key group the order is [queries...,
     # table rows...], and a group's table rows are contiguous — so a
@@ -427,7 +390,7 @@ def find_congruent_quads_grid(
     # so they neither emit candidates nor fake drop telemetry. counts
     # uses pure table-row ranks (ctab) — positions include interleaved
     # query rows and would overcount.
-    pvalid = jnp.repeat(sel2_valid, 8)
+    pvalid = jnp.repeat(sel2_valid, n_probe)
     counts = jnp.where(pvalid,
                        jnp.maximum(ctab[hi_all] - ctab[lo_c], 0), 0)
     hi_c = jnp.where(pvalid, hi_all, lo_c)
@@ -440,13 +403,14 @@ def find_congruent_quads_grid(
         psel, psv, _ = masked_indices(pmask, probe_budget)
         lo_c = lo_c[psel]
         hi_c = jnp.where(psv, hi_c[psel], lo_c)
-        qi = psel // 8                                 # e2 row
+        qi = psel // n_probe                           # e2 row
         pvalid = psv
         kept_cells = jnp.sum(jnp.where(psv, counts[psel], 0),
                              dtype=jnp.int32)
         counts = jnp.where(psv, counts[psel], 0)
     else:
-        qi = jnp.arange(qb * 8, dtype=jnp.int32) // 8  # e2 row
+        qi = jnp.arange(qb * n_probe,
+                        dtype=jnp.int32) // n_probe    # e2 row
         kept_cells = total_cells
 
     # up to L sorted-order slots per probe
@@ -454,41 +418,65 @@ def find_congruent_quads_grid(
     in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
     slot = jnp.clip(slot, 0, total - 1)
 
-    # candidate fetch: one row gather per slot along the K1 axis. (A
-    # contiguous L-row dynamic-slice per probe was tried here and is
-    # 12x SLOWER on TPU than the plain gather — vmapped dynamic_slice
-    # lowers to gather-of-slices, measured 1053 vs 86 ms at 65k probes
-    # x L=16.)
-    g = packed[:, slot]                                       # (3, QB*8, L)
+    # candidate fetch: the slot's table index, then the pair identity
+    # and its geometry recomputed from the small pos table — all
+    # (PB, L)-sized element gathers. (A contiguous L-row dynamic-slice
+    # per probe was tried here and is 12x SLOWER on TPU than the plain
+    # gather — vmapped dynamic_slice lowers to gather-of-slices,
+    # measured 1053 vs 86 ms at 65k probes x L=16.)
+    # A window can overrun its cell's contiguous table run into the
+    # next groups' interleaved query rows: mask by the sorted key's
+    # table tag bit.
+    in_cell &= (sk[slot] & 1) == 1
+    orid = jnp.minimum(order[slot], k1 - 1)                   # (PB, L)
+    if row_cap is not None:
+        trow = jnp.minimum(orid // row_cap, pos.shape[0] - 1)
+    else:
+        trow = rows1[orid]
+    tcol = cols1[orid]
 
-    # exact validation
-    e2_c = e2[qi].T                                           # (3, QB*8)
-    d2 = jnp.sum((g - e2_c[:, :, None]) ** 2, axis=0)         # (QB*8, L)
+    # exact validation: invariant-point distance, then the direction
+    # filter — both recomputed exactly (identical arithmetic to the
+    # dense oracle; no quantized direction column)
+    e2_c = e2[qi].T                                           # (3, PB)
+    g = _e1_components(trow, tcol)
+    d2 = sum((ec - e2_c[c][:, None]) ** 2
+             for c, (_, _, ec) in enumerate(g))               # (PB, L)
     mask = in_cell & (d2 <= r * r)
 
     if use_dir:
         d2v = b2 - a2
         dir2 = d2v / jnp.maximum(
             jnp.linalg.norm(d2v, axis=-1, keepdims=True), 1e-30)
+        dxc = [bc - ac for (ac, bc, _) in g]                  # (PB, L) x3
+        n1g = jnp.maximum(jnp.sqrt(
+            dxc[0] ** 2 + dxc[1] ** 2 + dxc[2] ** 2), 1e-30)
     if use_healpix:
         circ = healpix_circle_pixels(
             dir2, base_cos_alpha, healpix_nside, healpix_samples)
-        pix_cand = pextra[slot]                               # (QB*8, L)
+        pix_cand = _healpix.ang2pix_ring(
+            healpix_nside, dxc[2] / n1g,
+            jnp.arctan2(dxc[1], dxc[0])).astype(jnp.int32)
         mask &= _healpix_membership(pix_cand, circ[qi][:, None, :])
     elif use_dir:
-        cx, cy, cz = _oct_decode(pextra[slot])                # (QB*8, L)
-        d2q = dir2[qi]                                        # (QB*8, 3)
-        cos12 = (cx * d2q[:, 0, None] + cy * d2q[:, 1, None]
-                 + cz * d2q[:, 2, None])
+        d2q = dir2[qi]                                        # (PB, 3)
+        cos12 = (dxc[0] * d2q[:, 0, None] + dxc[1] * d2q[:, 1, None]
+                 + dxc[2] * d2q[:, 2, None]) / n1g
         mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance
 
     sel, valid, count = masked_indices(mask.reshape(-1), capacity)
-    q1 = pairs1[order[slot.reshape(-1)[sel]]]
+    orid_sel = orid.reshape(-1)[sel]
+    if row_cap is not None:
+        # derive (row, col) without touching the (K1, 2) pairs tensor
+        # (a padded-minor-dim layout hazard at table sizes)
+        q1 = jnp.stack([orid_sel // row_cap, cols1[orid_sel]], axis=-1)
+    else:
+        q1 = pairs1[orid_sel]
     q2 = pairs2b[qi[sel // L]]
     quads = jnp.concatenate([q1, q2], axis=-1)
     # overflow accounting: per-cell cap drops, whole cells lost to the
     # probe budget, and pairs beyond the Q budget (x8, probe units)
     dropped = jnp.sum(jnp.maximum(counts - L, 0), dtype=jnp.int32)
     dropped += total_cells - kept_cells
-    dropped += 8 * jnp.maximum(n2 - qb, 0)
+    dropped += n_probe * jnp.maximum(n2 - qb, 0)
     return quads.astype(jnp.int32), valid, count, dropped

@@ -52,19 +52,33 @@ def _nearest(tq, p_pos, p_block: int = 4096):
     return idx, d2
 
 
-def refine_transform(transform, q_pos, p_pos, delta, iters: int = 8):
+def refine_transform(transform, q_pos, p_pos, delta, iters: int = 8,
+                     start_factor: float = 1.0):
     """Trimmed ICP from ``transform`` (centered-Q -> centered-P frame).
 
-    Correspondences within ``2 * delta`` get weight 1 (the same
-    inlier band the RANSAC rms gate uses); the weighted Kabsch fit
-    (3x3 SVD, reflections repaired) updates the pose each iteration.
+    Correspondences within the trim radius get weight 1; the weighted
+    Kabsch fit (3x3 SVD, reflections repaired) updates the pose each
+    iteration. The radius anneals geometrically from
+    ``2 * delta * start_factor`` down to ``2 * delta`` (the RANSAC rms
+    gate band) — with ``start_factor`` 1.0 it is constant, the
+    original behavior; with a coarse-search factor
+    (Options.search_delta_factor) the wider opening radius matches the
+    candidate's location tolerance, so poses found at f x delta still
+    fall inside the ICP convergence basin and are pulled to exact-delta
+    accuracy by the final iterations.
 
     Returns the refined (4, 4) transform; callers should re-verify LCP
     and keep the better of the two (see matcher._maybe_refine).
     """
-    thr2 = (2.0 * jnp.asarray(delta, jnp.float32)) ** 2
+    base = 2.0 * jnp.asarray(delta, jnp.float32)
+    if iters > 1:
+        sched = jnp.float32(start_factor) ** (
+            1.0 - jnp.arange(iters, dtype=jnp.float32) / (iters - 1))
+    else:
+        sched = jnp.ones((iters,), jnp.float32)
+    thr2_sched = (base * sched) ** 2
 
-    def step(mat, _):
+    def step(mat, thr2):
         tq = q_pos @ mat[:3, :3].T + mat[:3, 3]
         idx, d2 = _nearest(tq, p_pos)
         w = (d2 <= thr2).astype(jnp.float32)
@@ -85,5 +99,5 @@ def refine_transform(transform, q_pos, p_pos, delta, iters: int = 8):
         return new, None
 
     out, _ = jax.lax.scan(step, jnp.asarray(transform, jnp.float32),
-                          None, length=iters)
+                          thr2_sched)
     return out

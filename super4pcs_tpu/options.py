@@ -119,6 +119,37 @@ class Options:
     #: HEALPix nside resolution of the "healpix" direction filter
     #: (tolerance is implicit in the pixel size, as in the reference).
     healpix_nside: int = 4
+    #: Search-stage tolerance multiplier. The per-trial success rate of
+    #: 4PCS RANSAC is gated by whether the sparse Q subsample contains a
+    #: 4-point counterpart of the drawn base *within the search
+    #: tolerances* — the pair distance band, the congruent-join radius,
+    #: and the rms gate (all DISTANCE_FACTOR * delta in the reference,
+    #: ref:match4pcsBase.hpp:328-347,439). With a factor f > 1 those
+    #: three widen to f * DISTANCE_FACTOR * delta while everything that
+    #: defines *quality* — LCP verification and the trimmed-ICP
+    #: refinement — stays exact at delta, so a coarsely-located true
+    #: base is found in ~f^4 fewer trials and the refinement pulls its
+    #: transform to the same final accuracy (the terminate_threshold
+    #: stop rule only ever sees exact-at-delta scores). Measured on the
+    #: fine-delta 100k benchmark: the unlucky-seed tail collapses
+    #: (seed 3: 1856 -> ~32 trials). 1.0 reproduces the reference
+    #: contract exactly. Costs wider pair/quad streams per trial —
+    #: capacities and overflow telemetry apply unchanged.
+    search_delta_factor: float = 1.0
+    #: Anytime escalation of the search factor: when the trial estimate
+    #: exhausts without reaching ``terminate_threshold`` and enough of
+    #: the wall-clock budget remains, the search is rebuilt at this
+    #: factor (with a fresh trial estimate) instead of stopping — the
+    #: coarse pass catches the unlucky-seed tail that the exact-
+    #: tolerance pass missed (measured on the fine-delta 100k
+    #: benchmark: the failing seed went from exhausting 144 trials at
+    #: LCP 0.45 to 0.99 within the escalated estimate), while lucky
+    #: seeds never pay the ~3x coarser step cost. The escalated
+    #: program's XLA compile (~5 s warm-cached, ~100 s cold) runs
+    #: inside the anytime budget; escalation is skipped when the
+    #: remaining budget is too small to amortize it. Values <= the
+    #: active search_delta_factor disable escalation.
+    search_escalation_factor: float = 2.0
     #: Trimmed-ICP refinement iterations applied to every new best
     #: transform inside the anytime loop and once more after the search
     #: (a quality stage beyond the reference — RANSAC 4-point fits
@@ -190,6 +221,14 @@ class Options:
             raise ValueError(
                 "terminate_threshold must be >= overlap_estimation; use "
                 "configure_overlap to set both")
+        if self.search_delta_factor <= 0:
+            raise ValueError(
+                f"search_delta_factor must be > 0, got "
+                f"{self.search_delta_factor}")
+        if self.search_escalation_factor < 0:
+            raise ValueError(
+                f"search_escalation_factor must be >= 0, got "
+                f"{self.search_escalation_factor}")
         if self.direction_bins not in ("cone", "healpix"):
             raise ValueError(
                 f"direction_bins must be 'cone' or 'healpix', got "

@@ -25,6 +25,14 @@ Known sentinel caveat: in ``estimate_scale`` mode the pair-distance
 filter is off, so sentinel-sentinel pairs can enter the pair buffers
 (they never join with real invariant points and never win LCP, but they
 waste capacity) — prefer uniform cloud sizes for scale-mode batches.
+
+Coarse-search note: an explicit ``Options.search_delta_factor`` applies
+to every pair of the batch, but the single-pair matcher's *auto
+escalation* (``search_escalation_factor``) is not implemented here —
+the batch runs one fused program for all pairs, and escalating because
+some pairs exhausted their estimate would recompile and re-step the
+whole batch for the stragglers. Re-run stragglers individually (their
+``batch_state`` marks them) or set an explicit factor for hard batches.
 """
 
 from __future__ import annotations

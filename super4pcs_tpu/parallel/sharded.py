@@ -60,11 +60,13 @@ def sharded_step(step_fn, mesh: Mesh, axis: str = BASES_AXIS):
         # gather the tiny per-device results; pick the argmax device.
         gathered = jax.tree.map(
             lambda x: jax.lax.all_gather(x, axis), local)
-        best_dev = jnp.argmax(gathered["lcp"])
+        # rank metric == exact lcp except in coarse-search mode (see
+        # matcher.build_step rank_delta)
+        best_dev = jnp.argmax(gathered["rank_lcp"])
 
         out = {}
-        for name in ("lcp", "transform", "qcentroid1", "qcentroid2",
-                     "base_ids", "congruent_ids"):
+        for name in ("lcp", "rank_lcp", "transform", "qcentroid1",
+                     "qcentroid2", "base_ids", "congruent_ids"):
             out[name] = gathered[name][best_dev]
         # telemetry: sum counters, concatenate per-base tables
         out["n_congruent"] = jnp.sum(gathered["n_congruent"])

@@ -114,20 +114,28 @@ def test_grid_join_matches_dense(rng):
         assert grid == dense, (len(grid), len(dense))
 
 
-def test_oct_direction_roundtrip(rng):
-    """Octahedral f16x2 packing reconstructs unit vectors to ~1e-3 —
-    including axis-aligned, antipodal and lower-hemisphere (folded)
-    directions."""
-    d = rng.normal(size=(2000, 3)).astype(np.float32)
-    d = np.concatenate([d, np.eye(3, dtype=np.float32),
-                        -np.eye(3, dtype=np.float32)])
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    enc = congruent._oct_encode(jnp.asarray(d))
-    x, y, z = congruent._oct_decode(enc)
-    rec = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)], axis=1)
-    cos = np.sum(rec * d, axis=1)
-    assert np.linalg.norm(rec, axis=1) == pytest.approx(1.0, abs=1e-5)
-    assert cos.min() > 1.0 - 2e-6          # angle error well under 1e-3 rad
+def test_grid_join_windowed_cells_match_dense(rng):
+    """With cell_size below 2 * radius (the coarse-search geometry:
+    radius widened, cells kept at the exact-delta scale) the join
+    probes a w^3 > 8 window; results must still equal the dense
+    oracle exactly."""
+    pos = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 250)
+    pairs2 = make_pairs(rng, pos, 250)
+    args = (jnp.asarray(pos),
+            jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+            jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+            0.42, 0.58, 0.3, 0.25, 0.4)
+    qd, vd, cd = congruent.find_congruent_quads(*args, capacity=16384)
+    dense = {tuple(x) for x, v in zip(np.asarray(qd), np.asarray(vd))
+             if v}
+    for cell in (0.3, 0.2, 0.11):          # w = 3, 4, 7
+        qg, vg, cg, dropped = congruent.find_congruent_quads_grid(
+            *args, capacity=16384, cell_candidates=64, cell_size=cell)
+        grid = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg))
+                if v}
+        assert int(dropped) == 0
+        assert grid == dense, (cell, len(grid), len(dense))
 
 
 def test_grid_join_row_cap_layout_parity(rng):

@@ -360,6 +360,71 @@ def test_refinement_improves_noisy_pose(rng, make_transform):
     assert rot_diff <= 0.2 and tr_diff <= 0.1
 
 
+def test_search_delta_factor_coarse_search(rng, make_transform):
+    """Coarse-search mode (Options.search_delta_factor > 1): the pair
+    band / join radius / rms gate widen, but verification and the
+    refinement stay exact at delta — so registration of a *sparsely
+    subsampled* Q (few exact counterparts within delta of any base
+    point) still recovers the pose within the reference thresholds."""
+    pos = bumpy_cloud(rng, 800)
+    keep = rng.choice(len(pos), 260, replace=False)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q = (pos[keep] @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    q += rng.normal(scale=0.008, size=q.shape).astype(np.float32)
+
+    opts = Options(delta=0.025, sample_size=260, max_time_seconds=45,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
+                   random_seed=17, search_delta_factor=2.0,
+                   ).configure_overlap(0.5, terminate_threshold=0.9)
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1, (
+        rot_diff, tr_diff, res.score)
+
+
+def test_search_escalation_on_trial_exhaustion(rng, make_transform):
+    """Anytime cascade: when the trial estimate exhausts below the
+    terminate threshold, the matcher rebuilds the search at
+    ``search_escalation_factor`` (fresh trial estimate) instead of
+    stopping, and the coarse pass + exact-delta refine still recover
+    the pose."""
+    pos = bumpy_cloud(rng, 500)
+    keep = rng.choice(len(pos), 200, replace=False)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q = (pos[keep] @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    q += rng.normal(scale=0.008, size=q.shape).astype(np.float32)
+
+    # terminate_threshold 1.0 is unreachable -> phase 1 always exhausts
+    # its estimate and must escalate (the wall budget is ample)
+    opts = Options(delta=0.025, sample_size=200, max_time_seconds=300,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
+                   random_seed=23, search_escalation_factor=2.0,
+                   ).configure_overlap(0.9, terminate_threshold=1.0)
+    m = MatchSuper4PCS(opts)
+    res = m.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    assert res.stats.get("escalated_to") == 2.0
+    assert res.stats["escalation_compile_seconds"] > 0
+    # escalated state round-trips through checkpoint export
+    state = m.export_state()
+    assert state["search_sf"] == 2.0
+    assert state["budget_mult"] == 2
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1, (
+        rot_diff, tr_diff, res.score)
+
+    # resuming from the escalated checkpoint continues at the coarse
+    # factor without re-running phase 1
+    m2 = MatchSuper4PCS(opts)
+    res2 = m2.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q), resume_state=state)
+    assert m2._search_sf == 2.0
+    assert res2.score >= res.score - 1e-6
+
+
 def test_cell_cap_pressure_does_not_hurt_quality(rng, make_transform):
     """Grid-join per-cell cap under real pressure: a cloud with tight
     clusters drives many invariant points into few cells, forcing

@@ -20,9 +20,15 @@ opts = (Options(delta=0.01, sample_size=8192, max_time_seconds=120,
         .configure_overlap(0.70, terminate_threshold=0.70))
 res = MatchSuper4PCS(opts).compute_transformation(
     PointCloud(pos=pos), PointCloud(pos=q))
+extra = {}
+if "escalated_to" in res.stats:
+    extra = {"escalated_to": res.stats["escalated_to"],
+             "esc_compile_s": round(
+                 res.stats["escalation_compile_seconds"], 1)}
 print(json.dumps({**{k: str(v) for k, v in over.items()}, "seed": seed,
                   "lcp": round(res.score, 4), "trials": res.n_trials,
                   "search_s": round(res.stats["search_seconds"], 2),
                   "pairs_ovf": int(res.stats["pairs_overflow"]),
-                  "compile_s": round(res.stats["compile_seconds"], 1)}),
+                  "compile_s": round(res.stats["compile_seconds"], 1),
+                  **extra}),
       flush=True)

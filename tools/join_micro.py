@@ -1,7 +1,7 @@
 """Per-stage timing of find_congruent_quads_grid at the fine-delta
 operating point (nq=8192, row_cap=160 -> K1=1.31M, QB=8192, L=16,
 probe budget 16384, 16 bases vmapped). Mirrors the production layout
-path (combined sort, packed octahedral dirs, probe compaction); timing
+path (combined sort with index-only payload, lazy validation); timing
 fetches results to host (block_until_ready is not a reliable fence on
 the tunneled backend).
 """
@@ -48,19 +48,27 @@ def stage_fn(stage):
         cell = 2.0 * r
         k1 = pairs1.shape[0]
         n_rows = k1 // ROW_CAP
-        p1 = pos[jnp.minimum(jnp.arange(n_rows), pos.shape[0] - 1)]
-        a1 = jnp.broadcast_to(p1[:, None, :],
-                              (n_rows, ROW_CAP, 3)).reshape(k1, 3)
-        b1 = pos[pairs1[:, 1]]
-        e1 = a1 + inv1 * (b1 - a1)
-        cells1 = jnp.floor(e1 / cell).astype(jnp.int32)
-        h1 = congruent._cell_hash(cells1)
+        cols1 = pairs1[:, 1]
+        row_clamp = jnp.minimum(jnp.arange(n_rows), pos.shape[0] - 1)
+        rows1 = jnp.broadcast_to(
+            row_clamp[:, None], (n_rows, ROW_CAP)).reshape(k1)
+
+        def e1_components(rows, cols):
+            out = []
+            for c in range(3):
+                pc = pos[:, c]
+                ac = pc[rows]
+                bc = pc[cols]
+                out.append((ac, bc, ac + inv1 * (bc - ac)))
+            return out
+
+        e1c = [e for (_, _, e) in e1_components(rows1, cols1)]
+        h1 = (jnp.floor(e1c[0] / cell).astype(jnp.int32) * congruent._HP1) \
+            ^ (jnp.floor(e1c[1] / cell).astype(jnp.int32) * congruent._HP2) \
+            ^ (jnp.floor(e1c[2] / cell).astype(jnp.int32) * congruent._HP3)
         h1 = jnp.where(valid1, h1, jnp.int32(2147483647))
-        d1 = b1 - a1
-        dir1 = d1 / jnp.maximum(
-            jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-30)
         if stage == "hash":
-            return h1.sum() + e1.sum() + dir1.sum()
+            return h1.sum()
         qb = QB
         sel2, sel2_valid, n2 = masked_indices(valid2, qb)
         pairs2b = pairs2[sel2]
@@ -68,29 +76,18 @@ def stage_fn(stage):
         b2 = pos[pairs2b[:, 1]]
         e2 = a2 + inv2 * (b2 - a2)
         base_cell = jnp.floor((e2 - r) / cell).astype(jnp.int32)
-        probe = base_cell[:, None, :] + jnp.asarray(congruent._CORNER_OFFSETS)
+        probe = base_cell[:, None, :] + jnp.asarray(
+            congruent._window_offsets(2))
         hq_flat = congruent._cell_hash(probe).reshape(-1)
         n2q = hq_flat.shape[0]
         total = k1 + 2 * n2q
         group1 = h1 & ~jnp.int32(1)
         groupq = hq_flat & ~jnp.int32(1)
         keys = jnp.concatenate([group1 | 1, groupq, groupq + 2])
-
-        def _pad(col, pv):
-            return jnp.concatenate(
-                [col, jnp.full((2 * n2q,), pv, col.dtype)])
-        extra_col = congruent._oct_encode(dir1)
-        ops = [_pad(e1[:, 0], jnp.inf), _pad(e1[:, 1], jnp.inf),
-               _pad(e1[:, 2], jnp.inf), _pad(extra_col, 0)]
-        sorted_ops = jax.lax.sort(
-            (keys, *ops,
-             jnp.arange(total, dtype=jnp.int32)), num_keys=1)
-        sk = sorted_ops[0]
-        packed = jnp.stack(sorted_ops[1:4], axis=0)
-        pextra = sorted_ops[4]
-        order = sorted_ops[-1]
+        sk, order = jax.lax.sort(
+            (keys, jnp.arange(total, dtype=jnp.int32)), num_keys=1)
         if stage == "sort":
-            return sk.sum() + packed.sum() + order.sum()
+            return sk.sum() + order.sum()
         is_table = (sk & 1) == 1
         posn = jnp.arange(total, dtype=jnp.int32)
         nt = jnp.flip(jax.lax.cummin(
@@ -108,7 +105,7 @@ def stage_fn(stage):
                            jnp.maximum(ctab[hi_all] - ctab[lo_c], 0), 0)
         hi_c = jnp.where(pvalid, hi_all, lo_c)
         if stage == "searchsorted":
-            return lo_c.sum() + hi_c.sum() + counts.sum() + packed.sum()
+            return lo_c.sum() + hi_c.sum() + counts.sum()
         # probe compaction (production default: 2 * q_budget)
         pmask = (hi_c > lo_c) & pvalid
         psel, psv, _ = masked_indices(pmask, PB)
@@ -120,24 +117,32 @@ def stage_fn(stage):
         slot = lo_c[:, None] + jnp.arange(L, dtype=lo_c.dtype)
         in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
         slot = jnp.clip(slot, 0, total - 1)
-        g = packed[:, slot]
+        in_cell &= (sk[slot] & 1) == 1
+        orid = jnp.minimum(order[slot], k1 - 1)
+        trow = jnp.minimum(orid // ROW_CAP, pos.shape[0] - 1)
+        tcol = cols1[orid]
         if stage == "gather":
-            return g.sum() + counts.sum()
+            return orid.sum() + trow.sum() + tcol.sum() + counts.sum()
         e2_c = e2[qi].T
-        d2 = jnp.sum((g - e2_c[:, :, None]) ** 2, axis=0)
+        g = e1_components(trow, tcol)
+        d2 = sum((ec - e2_c[c][:, None]) ** 2
+                 for c, (_, _, ec) in enumerate(g))
         mask = in_cell & (d2 <= r * r)
         d2v = b2 - a2
         dir2 = d2v / jnp.maximum(
             jnp.linalg.norm(d2v, axis=-1, keepdims=True), 1e-30)
-        cx, cy, cz = congruent._oct_decode(pextra[slot])
+        dxc = [bc - ac for (ac, bc, _) in g]
+        n1g = jnp.maximum(jnp.sqrt(
+            dxc[0] ** 2 + dxc[1] ** 2 + dxc[2] ** 2), 1e-30)
         d2q = dir2[qi]
-        cos12 = (cx * d2q[:, 0, None] + cy * d2q[:, 1, None]
-                 + cz * d2q[:, 2, None])
+        cos12 = (dxc[0] * d2q[:, 0, None] + dxc[1] * d2q[:, 1, None]
+                 + dxc[2] * d2q[:, 2, None]) / n1g
         mask &= jnp.abs(cos12 - cosa) <= 0.02
         if stage == "validate":
             return mask.sum()
         sel, valid, count = masked_indices(mask.reshape(-1), CAP)
-        q1 = pairs1[order[slot.reshape(-1)[sel]]]
+        orid_sel = orid.reshape(-1)[sel]
+        q1 = jnp.stack([orid_sel // ROW_CAP, cols1[orid_sel]], axis=-1)
         q2 = pairs2b[qi[sel // L]]
         quads = jnp.concatenate([q1, q2], axis=-1)
         return quads.sum() + count
