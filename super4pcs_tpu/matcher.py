@@ -82,14 +82,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _probe_window(search_delta_factor: float) -> int:
-    """Cells per axis the grid join probes: the join radius scales with
-    search_delta_factor while the cell stays at the exact-delta scale,
-    so the window is ceil(factor) + 1 (2 — the classic 8-corner probe —
-    at factor 1; mirrors the w computed in find_congruent_quads_grid)."""
-    return int(math.ceil(search_delta_factor - 1e-6)) + 1
-
-
 def _build_try_base(opts: Options, nq: int, cone_tol: float):
     """Build the single-base trial function shared by the production
     step (:func:`build_step`) and the phase probes
@@ -138,6 +130,9 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     max_angle_rad = (opts.max_angle * math.pi / 180.0
                      if opts.max_angle >= 0 else -1.0)
     rms_gate = DISTANCE_FACTOR * opts.delta * sf   # ref:hpp:439
+    # join cell size stays at the exact-delta scale (see the
+    # find_congruent_quads_grid call below)
+    cell_size = 2.0 * DISTANCE_FACTOR * opts.delta
     n_tri = opts.n_triangle_trials
     b_per_step = opts.bases_per_step
     delta = opts.delta
@@ -199,7 +194,7 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
                 # occupancy (and the cell_candidates cap pressure) does
                 # not grow with search_delta_factor — the coarse radius
                 # probes a wider window of fine cells instead
-                cell_size=2.0 * DISTANCE_FACTOR * opts.delta,
+                cell_size=cell_size,
                 row_cap=join_row_cap,
                 # probe compaction only pays (and only risks budget
                 # drops) on the large-nq layout path. The default
@@ -208,8 +203,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
                 probe_budget=(
                     (opts.join_probe_budget
                      or (2 * (opts.join_q_budget or 8192)
-                         * _probe_window(opts.search_delta_factor) ** 3
-                         ) // 8)
+                         * congruent.probe_window(
+                             dist_thr, cell_size) ** 3) // 8)
                     if join_row_cap is not None else None))
         qvalid = qvalid & bvalid
 
@@ -695,7 +690,7 @@ class Match4PCSBase:
                     if self._best_lcp > before:
                         visitor(-1.0, self._best_lcp,
                                 self._visitor_transform(needs_global))
-            elif (step_rank > self._best_rank
+            elif (step_rank > self._best_rank and step_rank >= 0
                   and self._search_sf != 1.0
                   and self._refine_active() and self._best_lcp < 1.0):
                 # Coarse-search mode: the step winner was selected on
@@ -733,6 +728,7 @@ class Match4PCSBase:
                 # the reference would.
                 remaining = opts.max_time_seconds * (1.0 - fraction_time)
                 if (opts.search_escalation_factor > self._search_sf
+                        and self._refine_active()
                         and remaining > max(0.25 * opts.max_time_seconds,
                                             15.0)):
                     self._escalate(diam)

@@ -169,9 +169,16 @@ def find_congruent_quads(
 # candidates that the exact distance mask removes).
 _HP1, _HP2, _HP3 = 73856093, 19349669, 83492791
 
-# Probe-window offsets: a radius-r ball around any query intersects at
-# most ceil(2r / cell) + 1 cells per axis (the classic 8-corner scheme
-# is the w = 2 case, cell size >= 2r).
+def probe_window(radius: float, cell: float | None) -> int:
+    """Cells per axis the grid join probes: a radius-r ball intersects
+    at most ceil(2r / cell) + 1 cells per axis (the classic 8-corner
+    scheme is the w = 2 case, cell size >= 2r). The single source of
+    truth for the window — callers sizing probe budgets must use this.
+    """
+    cell = cell if cell is not None else 2.0 * radius
+    return int(np.ceil(2.0 * radius / cell - 1e-6)) + 1
+
+
 def _window_offsets(w: int):
     r = range(w)
     return np.array([(i, j, k) for i in r for j in r for k in r],
@@ -229,11 +236,11 @@ def find_congruent_quads_grid(
     ``q_budget`` bounds how many *valid* second-side pairs are probed
     per call (default: all up to 8192). The compaction to the budget
     happens BEFORE the probe expansion, so the searchsorted query
-    volume and the (QB*8, L) candidate gather are independent of the
+    volume and the (QB*w^3, L) candidate gather are independent of
     pair-buffer capacity. Since the Q samples are pre-shuffled
     (ref:match4pcsBase.hpp:129-132), the first ``q_budget`` valid slots
     are a uniform random subsample of the pair set; skipped pairs are
-    counted in ``dropped`` (x8, in probe units).
+    counted in ``dropped`` (x w^3, in probe units).
 
     Same contract as :func:`find_congruent_quads` (the dense oracle),
     plus a second returned count of per-cell/budget overflow drops.
@@ -258,9 +265,7 @@ def find_congruent_quads_grid(
     """
     r = distance_threshold
     cell = cell_size if cell_size is not None else 2.0 * r
-    # cells per axis covering a radius-r ball (2 for the default
-    # cell = 2r; larger when a coarse-search radius outgrows the cell)
-    w = int(np.ceil(2.0 * r / cell - 1e-6)) + 1   # eps guards float wobble
+    w = probe_window(r, cell)
     n_probe = w * w * w
     k1 = pairs1.shape[0]
     k2 = pairs2.shape[0]
@@ -342,7 +347,7 @@ def find_congruent_quads_grid(
 
     # ONE combined sort of table rows and probe boundary queries. Sort
     # passes are dominated by key compare-exchange, not payload count,
-    # so folding the 2*QB*8 boundary queries into the table sort (+20%
+    # so folding the 2*QB*w^3 boundary queries into the table sort (+20%
     # rows) is far cheaper than a second rank sort over table+queries
     # (which jnp.searchsorted(method='sort') needs, plus two full-
     # length scatters — measured 229 ms per 16-base step vs ~30 ms
@@ -383,7 +388,7 @@ def find_congruent_quads_grid(
     qtarget = jnp.where(is_table, 2 * n2q, order - k1)
     bpos = jnp.zeros(2 * n2q, jnp.int32).at[qtarget].set(
         nt, mode="drop")
-    lo_c = bpos[:n2q]                                          # (QB*8,)
+    lo_c = bpos[:n2q]                                          # (QB*w^3,)
     hi_all = bpos[n2q:]
 
     # invalid slots beyond the live count probe garbage cells; zero them
@@ -475,7 +480,8 @@ def find_congruent_quads_grid(
     q2 = pairs2b[qi[sel // L]]
     quads = jnp.concatenate([q1, q2], axis=-1)
     # overflow accounting: per-cell cap drops, whole cells lost to the
-    # probe budget, and pairs beyond the Q budget (x8, probe units)
+    # probe budget, and pairs beyond the Q budget (x n_probe = w^3
+    # probe units)
     dropped = jnp.sum(jnp.maximum(counts - L, 0), dtype=jnp.int32)
     dropped += total_cells - kept_cells
     dropped += n_probe * jnp.maximum(n2 - qb, 0)

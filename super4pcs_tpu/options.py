@@ -99,13 +99,14 @@ class Options:
     #: (valid) Q-side pairs are probed per base (``None`` -> all, up to
     #: 8192). Q samples are pre-shuffled, so the budgeted subset is a
     #: uniform random subsample; skipped pairs are counted in
-    #: stats["cell_dropped"] (x8, probe units).
+    #: stats["cell_dropped"] (x w^3 probe units, w = the join's probe window).
     join_q_budget: Optional[int] = None
     #: Probe budget of the grid join on the large-nq (> 2048) path:
     #: the 8 corner probes per Q-side pair are compacted to the ones
     #: that hit a non-empty cell before the candidate gather, bounded
-    #: by this many (``None`` derives 2 * join_q_budget — ~2x headroom
-    #: over the measured ~13% hit rate at fine-delta operating points).
+    #: by this many (``None`` derives 2 * join_q_budget, scaled by the
+    #: probe-window volume under coarse search — ~2x headroom over the
+    #: measured ~13% hit rate at fine-delta operating points).
     #: Probes beyond the budget drop their cell, counted in
     #: stats["cell_dropped"]. The small-nq dense path never compacts.
     join_probe_budget: Optional[int] = None
@@ -134,7 +135,12 @@ class Options:
     #: fine-delta 100k benchmark: the unlucky-seed tail collapses
     #: (seed 3: 1856 -> ~32 trials). 1.0 reproduces the reference
     #: contract exactly. Costs wider pair/quad streams per trial —
-    #: capacities and overflow telemetry apply unchanged.
+    #: capacities and overflow telemetry apply unchanged. Designed to
+    #: pair with the refinement (``refine_iterations`` > 0, the
+    #: default): step winners are selected on the coarse rank metric
+    #: and only become the best through the guarded exact-delta refine,
+    #: so with refinement disabled a factor > 1 degrades rather than
+    #: helps.
     search_delta_factor: float = 1.0
     #: Anytime escalation of the search factor: when the trial estimate
     #: exhausts without reaching ``terminate_threshold`` and enough of
@@ -147,8 +153,13 @@ class Options:
     #: seeds never pay the ~3x coarser step cost. The escalated
     #: program's XLA compile (~5 s warm-cached, ~100 s cold) runs
     #: inside the anytime budget; escalation is skipped when the
-    #: remaining budget is too small to amortize it. Values <= the
-    #: active search_delta_factor disable escalation.
+    #: remaining budget is too small to amortize a warm compile, and
+    #: when refinement is inactive (coarse ranking is only recoverable
+    #: through the guarded refine — see search_delta_factor). Caveat: a
+    #: COLD persistent cache (first-ever escalation of a given shape on
+    #: a machine) can overrun max_time_seconds by the one-time ~100 s
+    #: compile; later runs hit the cache. Values <= the active
+    #: search_delta_factor disable escalation.
     search_escalation_factor: float = 2.0
     #: Trimmed-ICP refinement iterations applied to every new best
     #: transform inside the anytime loop and once more after the search
@@ -221,9 +232,12 @@ class Options:
             raise ValueError(
                 "terminate_threshold must be >= overlap_estimation; use "
                 "configure_overlap to set both")
-        if self.search_delta_factor <= 0:
+        if self.search_delta_factor < 1.0:
+            # < 1 would rank candidates tighter than the verification
+            # and anneal the refine trim radius upward — outside the
+            # design (see the field docstring)
             raise ValueError(
-                f"search_delta_factor must be > 0, got "
+                f"search_delta_factor must be >= 1, got "
                 f"{self.search_delta_factor}")
         if self.search_escalation_factor < 0:
             raise ValueError(

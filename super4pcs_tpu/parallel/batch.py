@@ -27,12 +27,15 @@ filter is off, so sentinel-sentinel pairs can enter the pair buffers
 waste capacity) — prefer uniform cloud sizes for scale-mode batches.
 
 Coarse-search note: an explicit ``Options.search_delta_factor`` applies
-to every pair of the batch, but the single-pair matcher's *auto
-escalation* (``search_escalation_factor``) is not implemented here —
-the batch runs one fused program for all pairs, and escalating because
-some pairs exhausted their estimate would recompile and re-step the
-whole batch for the stragglers. Re-run stragglers individually (their
-``batch_state`` marks them) or set an explicit factor for hard batches.
+to every pair of the batch (per-pair rank-best transforms are tracked
+and redeemed through the guarded refine stage — requires
+``refine_iterations`` > 0, the default), but the single-pair matcher's
+*auto escalation* (``search_escalation_factor``) is not implemented
+here — the batch runs one fused program for all pairs, and escalating
+because some pairs exhausted their estimate would recompile and re-step
+the whole batch for the stragglers. Re-run stragglers individually
+(their ``batch_state`` marks them) or set an explicit factor for hard
+batches.
 """
 
 from __future__ import annotations
@@ -234,6 +237,19 @@ def register_batch(
         "qcentroid1": np.zeros((g, 3), np.float32),
         "qcentroid2": np.zeros((g, 3), np.float32),
     }
+    # Coarse-search support (explicit Options.search_delta_factor > 1):
+    # step winners are selected on the rank metric (sf * delta) and
+    # their exact-delta scores are depressed, so additionally track the
+    # per-pair rank-best transform and give it to the guarded refine
+    # below — the same redemption path the single-pair matcher's
+    # _refine_candidate provides. Pointless without refinement (see
+    # Options.search_delta_factor).
+    rank_best = None
+    if opts.search_delta_factor != 1.0 and opts.refine_iterations > 0:
+        rank_best = {
+            "rank": np.full(g, -np.inf, np.float32),
+            "transform": np.tile(np.eye(4, dtype=np.float32), (g, 1, 1)),
+        }
     improved = np.zeros(g, bool)
     counters = {name: np.zeros(g, np.int64) for name in
                 ("pairs_overflow", "quads_overflow", "cands_overflow",
@@ -289,6 +305,13 @@ def register_batch(
         counters["cell_dropped"] += counts[:, :, 3].sum(axis=1)
         counters["cands_overflow"] += np.asarray(out["cands_dropped"])
 
+        if rank_best is not None:
+            ranks = np.asarray(out["rank_lcp"])
+            rupd = (ranks > rank_best["rank"]) & (ranks >= 0)
+            rank_best["rank"][rupd] = ranks[rupd]
+            rank_best["transform"][rupd] = \
+                np.asarray(out["transform"])[rupd]
+
         trial += opts.bases_per_step
         step_idx += 1
         if upd.any():
@@ -312,29 +335,35 @@ def register_batch(
     search_seconds = time.perf_counter() - t0
 
     # guarded trimmed-ICP polish, vmapped over the pairs axis (same
-    # contract as the single-pair matcher: kept only if LCP improves)
+    # contract as the single-pair matcher: kept only if LCP improves).
+    # In coarse-search mode the per-pair rank-best transforms are
+    # refined too — that is how a coarse-ranked winner becomes the best.
     if opts.refine_iterations > 0:
         # refinement runs on the local host copies (identical on every
         # process — deterministic, no collectives needed)
-        cur = jnp.asarray(best["transform"])
-        refined = jax.jit(jax.vmap(
+        refine_fn = jax.jit(jax.vmap(
             lambda t, qp, pp: refine.refine_transform(
-                t, qp, pp, opts.delta, iters=opts.refine_iterations)
-        ))(cur, local_q, local_p)
-        both = jnp.stack([cur, refined], axis=1)        # (G, 2, 4, 4)
-        scores = jax.jit(jax.vmap(
+                t, qp, pp, opts.delta, iters=opts.refine_iterations,
+                start_factor=opts.search_delta_factor)))
+        score_fn = jax.jit(jax.vmap(
             lambda ts, qp, pp: lcp.lcp_scores(ts, qp, pp, opts.delta,
-                                              use_pallas=False)
-        ))(both, local_q, local_p)
-        scores = np.asarray(scores)
-        refined = np.asarray(refined)
-        for i in range(g):
-            if scores[i, 1] > best["lcp"][i]:
-                best["lcp"][i] = scores[i, 1]
-                best["transform"][i] = refined[i]
-                best["qcentroid1"][i] = refined[i, :3, 3]
-                best["qcentroid2"][i] = 0.0
-                improved[i] = True
+                                              use_pallas=False)))
+        sources = [best["transform"]]
+        if rank_best is not None:
+            sources.append(rank_best["transform"])
+        for src in sources:
+            cur = jnp.asarray(src)
+            refined = refine_fn(cur, local_q, local_p)
+            both = jnp.stack([cur, refined], axis=1)    # (G, 2, 4, 4)
+            scores = np.asarray(score_fn(both, local_q, local_p))
+            refined = np.asarray(refined)
+            for i in range(g):
+                if scores[i, 1] > best["lcp"][i]:
+                    best["lcp"][i] = scores[i, 1]
+                    best["transform"][i] = refined[i]
+                    best["qcentroid1"][i] = refined[i, :3, 3]
+                    best["qcentroid2"][i] = 0.0
+                    improved[i] = True
 
     batch_state = {
         "trial": trial, "step_idx": step_idx,

@@ -82,6 +82,26 @@ def test_register_batch_sharded(rng, make_transform):
     assert ok >= 6, f"only {ok}/8 pairs registered"
 
 
+def test_register_batch_coarse_search(rng, make_transform):
+    """Explicit coarse factor in batch mode: rank-best transforms are
+    tracked per pair and redeemed through the guarded refine stage, so
+    a sparse-subsample pair still registers (mirrors the single-pair
+    test_search_delta_factor_coarse_search)."""
+    pos, q_full, mat = make_pair(rng, make_transform, n=500)
+    keep = rng.choice(len(q_full), 180, replace=False)
+    q = (q_full[keep]
+         + rng.normal(scale=0.008, size=(180, 3))).astype(np.float32)
+    opts = Options(delta=0.025, sample_size=180, max_time_seconds=45,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
+                   random_seed=13, search_delta_factor=2.0,
+                   ).configure_overlap(0.5, terminate_threshold=0.9)
+    res = register_batch(
+        [(PointCloud(pos=pos), PointCloud(pos=q))] * 2, opts)[0]
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1, (
+        rot_diff, tr_diff, res.score)
+
+
 def test_register_batch_unsharded(rng, make_transform):
     pos, q, mat = make_pair(rng, make_transform, n=100)
     opts = Options(delta=0.05, sample_size=100, max_time_seconds=30,
