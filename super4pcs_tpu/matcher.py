@@ -82,6 +82,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def resolve_bases_per_step(opts: Options, nq: int,
+                           mesh_size: int = 1) -> int:
+    """Effective vmapped-RANSAC width (see Options.bases_per_step).
+
+    ``None`` auto-scales by the sampled-Q size: small-nq steps are
+    dispatch-bound (device work ~tens of microseconds vs a multi-ms
+    host<->device round-trip on a tunneled TPU), so fusing 64 trials
+    per step amortizes the latency; large-nq steps are compute-bound
+    and 16 keeps per-step memory in check. Rounded up to a multiple of
+    ``mesh_size`` so bases-axis sharding always divides evenly.
+    """
+    b = opts.bases_per_step
+    if b is None:
+        b = 16 if nq > 1024 else 64
+        if mesh_size > 1:
+            b = _round_up(b, mesh_size)
+    return b
+
+
 def _build_try_base(opts: Options, nq: int, cone_tol: float):
     """Build the single-base trial function shared by the production
     step (:func:`build_step`) and the phase probes
@@ -89,6 +108,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
 
     Returns (try_base, (k_pairs, k_quads, n_cands)).
     """
+    if opts.bases_per_step is None:
+        opts = opts.replace(bases_per_step=resolve_bases_per_step(opts, nq))
     # Capacity defaults. The reference keeps *all* pairs and scores
     # *every* congruent quad (ref:hpp:390-393); undersized buffers
     # silently drop true candidates, so defaults err generous —
@@ -249,6 +270,8 @@ def build_step(opts: Options, nq: int, cone_tol: float):
 
     Returns (step, (k_pairs, k_quads, n_cands)).
     """
+    if opts.bases_per_step is None:
+        opts = opts.replace(bases_per_step=resolve_bases_per_step(opts, nq))
     try_base, caps = _build_try_base(opts, nq, cone_tol)
     k_pairs, k_quads, n_cands = caps
     b_per_step = opts.bases_per_step
@@ -383,17 +406,19 @@ class Match4PCSBase:
         self.logger = logger or Logger(LogLevel.NoLog)
         self._step_fn = None
         self._mesh = mesh
-        if mesh is not None and options.bases_per_step % mesh.size != 0:
+        if (mesh is not None and options.bases_per_step is not None
+                and options.bases_per_step % mesh.size != 0):
             raise ValueError(
                 f"bases_per_step ({options.bases_per_step}) must be "
                 f"divisible by the mesh size ({mesh.size})")
+        # resolved at _init once the sampled-Q size is known
+        self._b_eff = options.bases_per_step
 
     def _step_keys(self, step_idx: int):
         """Per-base keys for one device step, placed shard-per-device
         over the mesh 'bases' axis when a mesh is configured."""
         keys = jax.random.split(
-            jax.random.fold_in(self._key, step_idx),
-            self.options.bases_per_step)
+            jax.random.fold_in(self._key, step_idx), self._b_eff)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             keys = jax.device_put(
@@ -469,6 +494,8 @@ class Match4PCSBase:
         opts = self.options
         rng = np.random.default_rng(opts.random_seed)
         self._q_original = Q
+        # re-resolve per run: a reused matcher may see a different nq
+        self._b_eff = opts.bases_per_step
 
         if len(P) <= opts.sample_size:
             self.logger.error(
@@ -579,14 +606,21 @@ class Match4PCSBase:
         return self.number_of_trials * self._budget_mult
 
     def _opts_eff(self) -> Options:
-        """Options with the LIVE search factor (see _escalate)."""
-        if self._search_sf == self.options.search_delta_factor:
+        """Options with the LIVE search factor (see _escalate) and the
+        resolved bases_per_step."""
+        if (self._search_sf == self.options.search_delta_factor
+                and self._b_eff == self.options.bases_per_step):
             return self.options
-        return self.options.replace(search_delta_factor=self._search_sf)
+        return self.options.replace(search_delta_factor=self._search_sf,
+                                    bases_per_step=self._b_eff)
 
     def _build_step(self):
-        opts = self._opts_eff()
         nq = int(self._d_q_pos.shape[0])
+        if self._b_eff is None:
+            self._b_eff = resolve_bases_per_step(
+                self.options, nq,
+                self._mesh.size if self._mesh is not None else 1)
+        opts = self._opts_eff()
         step, caps = build_step(opts, nq, self._cone_mode)
         self._step_raw = step
         if self._mesh is not None:
@@ -603,7 +637,7 @@ class Match4PCSBase:
     def _perform_steps(self, visitor):
         opts = self.options
         needs_global = visitor_needs_global(visitor)
-        b = opts.bases_per_step
+        b = self._b_eff
 
         visitor(0.0, self._best_lcp,
                 self._visitor_transform(needs_global))

@@ -57,7 +57,15 @@ class Options:
 
     # --- TPU execution shape parameters (no reference counterpart) ---
     #: Bases attempted per jitted device step (vmapped RANSAC width).
-    bases_per_step: int = 16
+    #: ``None`` (the default) derives it from the sampled-Q size at
+    #: matcher init: 16 at nq > 1024, else 64 — at toy scales (the
+    #: reference's own n=200 configs) per-step device work is tens of
+    #: microseconds and the host<->device dispatch round-trip dominates,
+    #: so fusing more trials per step is free throughput. Set explicitly
+    #: to pin the step shape (required to divide the mesh size in
+    #: bases-axis sharded runs; the auto value is rounded up to a
+    #: multiple of it).
+    bases_per_step: Optional[int] = None
     #: Static capacity of each per-base extracted-pair buffer. ``None``
     #: derives a capacity from the sampled-Q size at matcher init.
     max_pairs: Optional[int] = None

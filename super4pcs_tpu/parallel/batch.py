@@ -52,7 +52,8 @@ from jax import shard_map
 
 from ..cloud import PointCloud
 from ..matcher import (RegistrationResult, build_step, _K_SMALL_ERROR,
-                       _K_MIN_TRIALS, _K_DIAMETER_FRACTION)
+                       _K_MIN_TRIALS, _K_DIAMETER_FRACTION,
+                       resolve_bases_per_step)
 from ..options import Options, K_NUMBER_OF_DIAMETER_TRIALS
 from ..ops import geometry, lcp, refine, sampling
 from ..visitor import DummyTransformVisitor, visitor_needs_global
@@ -136,6 +137,9 @@ def register_batch(
     np_max = max(len(pp) for (pp, _), _ in preps)
     nq_max = max(len(qq) for _, (qq, _) in preps)
     nq_real = np.asarray([len(qq) for _, (qq, _) in preps])
+    if opts.bases_per_step is None:
+        opts = opts.replace(
+            bases_per_step=resolve_bases_per_step(opts, nq_max))
 
     p_pos = np.stack([_repeat_pad(pp.pos - cp, np_max)
                       for (pp, cp), _ in preps])

@@ -114,9 +114,13 @@ def test_tpu_opts_parsing():
                    "use_full_time_budget": True,
                    "direction_bins": "healpix", "join_q_budget": None,
                    "cone_cos_tolerance": 0.25}
+    # bases_per_step is Optional since the auto-width default: "none"
+    # restores the auto derivation
+    assert cli.parse_tpu_opts("bases_per_step=none") == {
+        "bases_per_step": None}
     for bad in ("delta=1",            # reference flag, not a TPU knob
                 "nope=3", "bases_per_step", "phase_timing=maybe",
-                "bases_per_step=none"):
+                "refine_iterations=none"):
         with pytest.raises(ValueError):
             cli.parse_tpu_opts(bad)
     # bad spec exits through the usage path, no traceback

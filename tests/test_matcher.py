@@ -527,3 +527,34 @@ def test_phase_timing_breakdown(rng, make_transform):
     assert phases["select_extract"] <= phases["step_total"] * 3
     assert res.stats["initial_verify_seconds"] > 0.0
     assert res.improved
+
+
+def test_auto_bases_per_step(rng, make_transform):
+    """bases_per_step=None derives the vmapped width from the sampled-Q
+    size (64 at toy scale, 16 at large nq; rounded up to the mesh
+    size), and a default-Options run registers end-to-end with the
+    trial counter advancing in auto-width steps."""
+    from super4pcs_tpu.matcher import resolve_bases_per_step
+
+    o = Options()
+    assert o.bases_per_step is None
+    assert resolve_bases_per_step(o, 200) == 64
+    assert resolve_bases_per_step(o, 4096) == 16
+    assert resolve_bases_per_step(o, 200, mesh_size=24) == 72
+    # explicit values are never overridden
+    assert resolve_bases_per_step(o.replace(bases_per_step=8), 200) == 8
+
+    pos = bumpy_cloud(rng, 150)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q_pos = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    opts = Options(delta=0.05, sample_size=150, max_time_seconds=30,
+                   max_quads=512, max_candidates=1024,
+                   random_seed=7).configure_overlap(0.9)
+    assert opts.bases_per_step is None
+    m = MatchSuper4PCS(opts)
+    res = m.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q_pos))
+    assert m._b_eff == 64
+    assert res.n_trials % 64 == 0
+    assert res.improved and res.score > 0.8
