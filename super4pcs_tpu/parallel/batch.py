@@ -101,6 +101,7 @@ def register_batch(
     algorithm: str = "super4pcs",
     visitor=None,
     resume_state: Optional[dict] = None,
+    on_checkpoint=None,
 ) -> List[RegistrationResult]:
     """Register ``pairs[g] = (P_g, Q_g)`` for all g in one SPMD program.
 
@@ -119,6 +120,13 @@ def register_batch(
     of a previous (possibly interrupted) run over the *same pairs and
     options* — the search resumes from its trial counter and per-pair
     best-so-far, continuing the same PRNG stream.
+
+    ``on_checkpoint``: optional callable receiving the serializable
+    state dict after every device step — the fault-tolerance hook for
+    preemptible runs: persist it (every process holds an identical
+    replica, so any host may write it) and a fresh job passing it as
+    ``resume_state`` continues where the dead one stopped
+    (tests/test_distributed.py::test_two_process_crash_resume).
     """
     opts = options or Options()
     cone_tol = opts.cone_cos_tolerance if algorithm == "super4pcs" else -1.0
@@ -286,6 +294,14 @@ def register_batch(
         mats = global_mats() if needs_global else best["transform"].copy()
         visitor(fraction, best["lcp"].copy(), mats)
 
+    def snapshot_state():
+        return {
+            "trial": trial, "step_idx": step_idx,
+            "improved": improved.tolist(),
+            "counters": {k: v.tolist() for k, v in counters.items()},
+            **{k: v.tolist() for k, v in best.items()},
+        }
+
     visit(0.0)
     t0 = time.perf_counter()
     while True:
@@ -318,6 +334,8 @@ def register_batch(
 
         trial += opts.bases_per_step
         step_idx += 1
+        if on_checkpoint is not None:
+            on_checkpoint(snapshot_state())
         if upd.any():
             visit(-1.0)
         elapsed = time.perf_counter() - t0
@@ -369,12 +387,7 @@ def register_batch(
                     best["qcentroid2"][i] = 0.0
                     improved[i] = True
 
-    batch_state = {
-        "trial": trial, "step_idx": step_idx,
-        "improved": improved.tolist(),
-        "counters": {k: v.tolist() for k, v in counters.items()},
-        **{k: v.tolist() for k, v in best.items()},
-    }
+    batch_state = snapshot_state()
     results = []
     for i in range(g):
         if improved[i]:
