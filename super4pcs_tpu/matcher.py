@@ -858,7 +858,8 @@ class Match4PCSBase:
                 # search candidates are only located to sf * delta)
                 refined = refine.refine_transform(
                     cur, q_pos, p_pos, delta, iters=iters,
-                    start_factor=sf)
+                    start_factor=sf,
+                    estimate_scale=opts.estimate_scale)
                 scores = lcp.lcp_scores(
                     jnp.stack([cur, refined]), q_pos, p_pos, delta)
                 return refined, scores
@@ -867,10 +868,9 @@ class Match4PCSBase:
         return self._refine_jit
 
     def _refine_active(self) -> bool:
-        # refinement fits strictly rigid poses — in similarity mode it
-        # would discard the recovered scale and always be rejected
-        return (self.options.refine_iterations > 0
-                and not self.options.estimate_scale)
+        # similarity (estimate_scale) mode uses the Umeyama fit inside
+        # the trimmed ICP, so refinement applies in both modes
+        return self.options.refine_iterations > 0
 
     def _refine_candidate(self, out):
         """Guarded refine of a step's selected candidate that did NOT

@@ -1,4 +1,4 @@
-"""Rigid-transform refinement (trimmed point-to-point ICP).
+"""Rigid/similarity-transform refinement (trimmed point-to-point ICP).
 
 A quality stage the reference does not have: RANSAC's 4-point fits are
 exact only on the base — with noise or discretization the best candidate
@@ -53,12 +53,18 @@ def _nearest(tq, p_pos, p_block: int = 4096):
 
 
 def refine_transform(transform, q_pos, p_pos, delta, iters: int = 8,
-                     start_factor: float = 1.0):
+                     start_factor: float = 1.0,
+                     estimate_scale: bool = False):
     """Trimmed ICP from ``transform`` (centered-Q -> centered-P frame).
 
     Correspondences within the trim radius get weight 1; the weighted
     Kabsch fit (3x3 SVD, reflections repaired) updates the pose each
-    iteration. The radius anneals geometrically from
+    iteration. With ``estimate_scale`` the per-iteration fit is the
+    Umeyama similarity solution instead — scale
+    ``c = trace(diag(1,1,d) S) / sum w ||q - mu_q||^2`` on the same
+    SVD — matching the matcher's MULTISCALE mode (the fit is from the
+    original q_pos each iteration, so the scale is re-estimated, not
+    compounded). The radius anneals geometrically from
     ``2 * delta * start_factor`` down to ``2 * delta`` (the RANSAC rms
     gate band) — with ``start_factor`` 1.0 it is constant, the
     original behavior; with a coarse-search factor
@@ -93,6 +99,14 @@ def refine_transform(transform, q_pos, p_pos, delta, iters: int = 8,
         d = jnp.sign(jnp.linalg.det(vt.T @ u.T))
         diag = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]).at[2].set(d))
         rot = vt.T @ diag @ u.T
+        if estimate_scale:
+            # Umeyama: trace(D S) over the weighted Q variance; guard
+            # degenerate correspondence sets (keep the incoming scale 1)
+            var_q = jnp.sum(jnp.sum(qc * (q_pos - mu_q), axis=-1))
+            c = jnp.where(var_q > 1e-20,
+                          (s[0] + s[1] + d * s[2])
+                          / jnp.maximum(var_q, 1e-20), 1.0)
+            rot = c * rot
         t = mu_p - rot @ mu_q
         new = jnp.eye(4, dtype=mat.dtype)
         new = new.at[:3, :3].set(rot).at[:3, 3].set(t)

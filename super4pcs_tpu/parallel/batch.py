@@ -366,7 +366,8 @@ def register_batch(
         refine_fn = jax.jit(jax.vmap(
             lambda t, qp, pp: refine.refine_transform(
                 t, qp, pp, opts.delta, iters=opts.refine_iterations,
-                start_factor=opts.search_delta_factor)))
+                start_factor=opts.search_delta_factor,
+                estimate_scale=opts.estimate_scale)))
         score_fn = jax.jit(jax.vmap(
             lambda ts, qp, pp: lcp.lcp_scores(ts, qp, pp, opts.delta,
                                               use_pallas=False)))

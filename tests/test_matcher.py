@@ -558,3 +558,31 @@ def test_auto_bases_per_step(rng, make_transform):
     assert m._b_eff == 64
     assert res.n_trials % 64 == 0
     assert res.improved and res.score > 0.8
+
+
+def test_similarity_refinement_recovers_scale(rng, make_transform):
+    """In estimate_scale mode the trimmed ICP uses the Umeyama
+    similarity fit: on a noisy scaled pair the guarded refine lifts the
+    LCP and the recovered scale stays exact."""
+    s = 1.7
+    pos = bumpy_cloud(rng, 160)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = ((pos @ inv[:3, :3].T + inv[:3, 3]) / s).astype(np.float32)
+    q += rng.normal(scale=0.01, size=q.shape).astype(np.float32)
+
+    base = Options(delta=0.04, sample_size=160, max_time_seconds=40,
+                   bases_per_step=8, estimate_scale=True,
+                   max_pairs=8192, max_quads=2048, max_candidates=8192,
+                   random_seed=21).configure_overlap(0.6, 0.999)
+    res_off = MatchSuper4PCS(base.replace(refine_iterations=0)) \
+        .compute_transformation(PointCloud(pos=pos), PointCloud(pos=q))
+    res_on = MatchSuper4PCS(base.replace(refine_iterations=8)) \
+        .compute_transformation(PointCloud(pos=pos), PointCloud(pos=q))
+    # guarded: never lower; on noisy data the similarity ICP should win
+    assert res_on.score >= res_off.score - 1e-6
+    assert res_on.score > 0.8, (res_on.score, res_off.score)
+    est_scale = np.linalg.norm(res_on.transform[:3, :3], axis=0).mean()
+    assert abs(est_scale - s) < 0.05, est_scale
+    moved = q @ res_on.transform[:3, :3].T + res_on.transform[:3, 3]
+    assert np.median(np.linalg.norm(moved - pos, axis=1)) < 0.04
