@@ -296,11 +296,26 @@ def find_congruent_quads_grid(
         return out
 
     if row_cap is not None:
-        rows1 = jnp.broadcast_to(
-            row_clamp[:, None], (n_rows, row_cap)).reshape(k1)
+        # The 'a' endpoint is constant across a row's slots: gather it
+        # once per ROW (n_rows elements) and broadcast across the
+        # row_cap axis. TPU gathers are element-at-a-time, so this
+        # halves the K1-sized gather volume of the hash stage — the
+        # dominant cost of the whole join (measured 603 -> ~300 ms per
+        # 16-base step at the fine-delta operating point,
+        # tools/join_micro.py). Arithmetic is bit-identical to the
+        # gather form (same values, same order).
+        def _bcast(x):
+            return jnp.broadcast_to(
+                x[:, None], (n_rows, row_cap)).reshape(k1)
+        e1c = []
+        for c in range(3):
+            pc = pos[:, c]
+            ac = _bcast(pc[row_clamp])
+            bc = pc[cols1]
+            e1c.append(ac + invariant1 * (bc - ac))
     else:
         rows1 = pairs1[:, 0]
-    e1c = [e for (_, _, e) in _e1_components(rows1, cols1)]
+        e1c = [e for (_, _, e) in _e1_components(rows1, cols1)]
 
     # hash e1 cells; invalid entries get a sentinel hash kept out of the
     # way by the sort

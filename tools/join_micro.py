@@ -62,7 +62,17 @@ def stage_fn(stage):
                 out.append((ac, bc, ac + inv1 * (bc - ac)))
             return out
 
-        e1c = [e for (_, _, e) in e1_components(rows1, cols1)]
+        # production broadcast form: the 'a' endpoint gathers once per
+        # row, not per slot (see find_congruent_quads_grid)
+        def bcast(x):
+            return jnp.broadcast_to(
+                x[:, None], (n_rows, ROW_CAP)).reshape(k1)
+        e1c = []
+        for c in range(3):
+            pc = pos[:, c]
+            ac = bcast(pc[row_clamp])
+            bc = pc[cols1]
+            e1c.append(ac + inv1 * (bc - ac))
         h1 = (jnp.floor(e1c[0] / cell).astype(jnp.int32) * congruent._HP1) \
             ^ (jnp.floor(e1c[1] / cell).astype(jnp.int32) * congruent._HP2) \
             ^ (jnp.floor(e1c[2] / cell).astype(jnp.int32) * congruent._HP3)
