@@ -433,14 +433,17 @@ def find_congruent_quads_grid(
                         dtype=jnp.int32) // n_probe    # e2 row
         kept_cells = total_cells
 
-    # up to L sorted-order slots per probe
-    slot = lo_c[:, None] + jnp.arange(L, dtype=lo_c.dtype)    # (PB, L)
-    in_cell = (slot < hi_c[:, None]) & pvalid[:, None]
+    # up to L sorted-order slots per probe, laid out (L, PB): the LARGE
+    # probe axis must be minor — a (PB, L=16) layout pads its minor dim
+    # to the 128-lane width, an 8x tax on every gather below (measured
+    # 667 -> 102 ms per 16-base toy-scale join, tools/join_micro_small).
+    slot = lo_c[None, :] + jnp.arange(L, dtype=lo_c.dtype)[:, None]
+    in_cell = (slot < hi_c[None, :]) & pvalid[None, :]        # (L, PB)
     slot = jnp.clip(slot, 0, total - 1)
 
     # candidate fetch: the slot's table index, then the pair identity
     # and its geometry recomputed from the small pos table — all
-    # (PB, L)-sized element gathers. (A contiguous L-row dynamic-slice
+    # (L, PB)-sized element gathers. (A contiguous L-row dynamic-slice
     # per probe was tried here and is 12x SLOWER on TPU than the plain
     # gather — vmapped dynamic_slice lowers to gather-of-slices,
     # measured 1053 vs 86 ms at 65k probes x L=16.)
@@ -448,7 +451,7 @@ def find_congruent_quads_grid(
     # next groups' interleaved query rows: mask by the sorted key's
     # table tag bit.
     in_cell &= (sk[slot] & 1) == 1
-    orid = jnp.minimum(order[slot], k1 - 1)                   # (PB, L)
+    orid = jnp.minimum(order[slot], k1 - 1)                   # (L, PB)
     if row_cap is not None:
         trow = jnp.minimum(orid // row_cap, pos.shape[0] - 1)
     else:
@@ -460,15 +463,15 @@ def find_congruent_quads_grid(
     # dense oracle; no quantized direction column)
     e2_c = e2[qi].T                                           # (3, PB)
     g = _e1_components(trow, tcol)
-    d2 = sum((ec - e2_c[c][:, None]) ** 2
-             for c, (_, _, ec) in enumerate(g))               # (PB, L)
+    d2 = sum((ec - e2_c[c][None, :]) ** 2
+             for c, (_, _, ec) in enumerate(g))               # (L, PB)
     mask = in_cell & (d2 <= r * r)
 
     if use_dir:
         d2v = b2 - a2
         dir2 = d2v / jnp.maximum(
             jnp.linalg.norm(d2v, axis=-1, keepdims=True), 1e-30)
-        dxc = [bc - ac for (ac, bc, _) in g]                  # (PB, L) x3
+        dxc = [bc - ac for (ac, bc, _) in g]                  # (L, PB) x3
         n1g = jnp.maximum(jnp.sqrt(
             dxc[0] ** 2 + dxc[1] ** 2 + dxc[2] ** 2), 1e-30)
     if use_healpix:
@@ -477,11 +480,11 @@ def find_congruent_quads_grid(
         pix_cand = _healpix.ang2pix_ring(
             healpix_nside, dxc[2] / n1g,
             jnp.arctan2(dxc[1], dxc[0])).astype(jnp.int32)
-        mask &= _healpix_membership(pix_cand, circ[qi][:, None, :])
+        mask &= _healpix_membership(pix_cand, circ[qi][None, :, :])
     elif use_dir:
         d2q = dir2[qi]                                        # (PB, 3)
-        cos12 = (dxc[0] * d2q[:, 0, None] + dxc[1] * d2q[:, 1, None]
-                 + dxc[2] * d2q[:, 2, None]) / n1g
+        cos12 = (dxc[0] * d2q[None, :, 0] + dxc[1] * d2q[None, :, 1]
+                 + dxc[2] * d2q[None, :, 2]) / n1g
         mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance
 
     sel, valid, count = masked_indices(mask.reshape(-1), capacity)
@@ -492,7 +495,7 @@ def find_congruent_quads_grid(
         q1 = jnp.stack([orid_sel // row_cap, cols1[orid_sel]], axis=-1)
     else:
         q1 = pairs1[orid_sel]
-    q2 = pairs2b[qi[sel // L]]
+    q2 = pairs2b[qi[sel % qi.shape[0]]]
     quads = jnp.concatenate([q1, q2], axis=-1)
     # overflow accounting: per-cell cap drops, whole cells lost to the
     # probe budget, and pairs beyond the Q budget (x n_probe = w^3
