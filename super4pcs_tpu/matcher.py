@@ -164,6 +164,17 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     # capacity cliff on this path (see extract_pairs_rowcap_layout).
     # max_pairs still tunes the default row_cap so the knob keeps its
     # meaning.
+    # Join selection for the small-nq (dense extraction) path: the
+    # K1 x K2 dense oracle beats the sorted-hash grid join outright when
+    # the mask fits — at hippo scale (k_pairs=3200, B=64) the dense form
+    # measured 284 ms/step vs 3221 ms for the grid (whose per-probe
+    # gather volume is sized by the pair CAPACITY, mostly sentinel slots
+    # at toy scale) — and it is exact: no per-cell cap, no cell_dropped
+    # pressure. The element budget bounds the vmapped mask + compaction
+    # footprint (k_pairs^2 * B bools + one cumsum).
+    dense_join = (nq <= 2048
+                  and k_pairs * k_pairs * b_per_step <= (1 << 30))
+
     if nq <= 2048:
         join_row_cap = None
 
@@ -203,30 +214,44 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
             s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
             s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
 
-        quads, qvalid, qcount, qdropped = \
-            congruent.find_congruent_quads_grid(
+        if dense_join:
+            quads, qvalid, qcount = congruent.find_congruent_quads(
                 q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
                 dist_thr, cos_alpha, cone_tol, k_quads,
-                cell_candidates=opts.cell_candidates,
-                q_budget=opts.join_q_budget,
                 direction_bins=opts.direction_bins,
-                healpix_nside=opts.healpix_nside,
-                # cell size stays at the exact-delta scale so per-cell
-                # occupancy (and the cell_candidates cap pressure) does
-                # not grow with search_delta_factor — the coarse radius
-                # probes a wider window of fine cells instead
-                cell_size=cell_size,
-                row_cap=join_row_cap,
-                # probe compaction only pays (and only risks budget
-                # drops) on the large-nq layout path. The default
-                # budget scales with the probe-window volume (w^3
-                # probes per query instead of 8 under coarse search).
-                probe_budget=(
-                    (opts.join_probe_budget
-                     or (2 * (opts.join_q_budget or 8192)
-                         * congruent.probe_window(
-                             dist_thr, cell_size) ** 3) // 8)
-                    if join_row_cap is not None else None))
+                healpix_nside=opts.healpix_nside)
+            qdropped = jnp.int32(0)
+        else:
+            quads, qvalid, qcount, qdropped = \
+                congruent.find_congruent_quads_grid(
+                    q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
+                    dist_thr, cos_alpha, cone_tol, k_quads,
+                    cell_candidates=opts.cell_candidates,
+                    q_budget=opts.join_q_budget,
+                    direction_bins=opts.direction_bins,
+                    healpix_nside=opts.healpix_nside,
+                    # cell size stays at the exact-delta scale so
+                    # per-cell occupancy (and the cell_candidates cap
+                    # pressure) does not grow with search_delta_factor —
+                    # the coarse radius probes a wider window of fine
+                    # cells instead
+                    cell_size=cell_size,
+                    row_cap=join_row_cap,
+                    # probe compaction: the gather/validate volume
+                    # follows cells actually hit instead of probes
+                    # issued. On the rowcap path qb defaults to the
+                    # join_q_budget; on the mid-size dense-extraction
+                    # path it is capped by the pair capacity (measured
+                    # 3.1x step cut at hippo scale before the dense
+                    # oracle superseded it there). Budget scales with
+                    # the probe-window volume (w^3 probes per query).
+                    probe_budget=(
+                        opts.join_probe_budget
+                        or (2 * min(opts.join_q_budget or 8192,
+                                    k_pairs if join_row_cap is None
+                                    else (opts.join_q_budget or 8192))
+                            * congruent.probe_window(
+                                dist_thr, cell_size) ** 3) // 8))
         qvalid = qvalid & bvalid
 
         cand = q_pos[quads]                         # (Kq, 4, 3)

@@ -8,6 +8,7 @@ reports the distribution of per-base captured counts (sum of hit) for
 both base edges so a static table capacity can be chosen with known
 drop risk.
 """
+import _path  # noqa: F401  (repo root on sys.path)
 import time
 
 import numpy as np

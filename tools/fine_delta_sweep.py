@@ -4,6 +4,7 @@ Usage: python _sweep.py seed=5 pair_recall_target=0.85 pair_row_cap=96 \
                         bases_per_step=16 max_pairs=524288
 Prints one JSON line.
 """
+import _path  # noqa: F401  (repo root on sys.path)
 import json
 import sys
 from bench import fine_delta_pair

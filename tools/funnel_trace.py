@@ -5,6 +5,7 @@ steps (best flat until one jump).
 
 Usage: python tools/funnel_trace.py seed=5 [knob=v ...]
 """
+import _path  # noqa: F401  (repo root on sys.path)
 import json
 import sys
 

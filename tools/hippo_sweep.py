@@ -2,6 +2,7 @@
 
 Usage: python _hippo_sweep.py seed=0 bases_per_step=64
 """
+import _path  # noqa: F401  (repo root on sys.path)
 import json
 import sys
 from super4pcs_tpu import MatchSuper4PCS, Options, PointCloud
@@ -21,5 +22,7 @@ res = MatchSuper4PCS(opts).compute_transformation(set1, set2)
 print(json.dumps({**{k: str(v) for k, v in over.items()}, "seed": seed,
                   "lcp": round(res.score, 4), "trials": res.n_trials,
                   "search_s": round(res.stats["search_seconds"], 3),
-                  "compile_s": round(res.stats["compile_seconds"], 1)}),
+                  "compile_s": round(res.stats["compile_seconds"], 1),
+                  "esc": res.stats.get("escalated_to"),
+                  "esc_compile_s": round(res.stats.get("escalation_compile_seconds", 0.0), 1)}),
       flush=True)

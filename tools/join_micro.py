@@ -5,6 +5,7 @@ path (combined sort with index-only payload, lazy validation); timing
 fetches results to host (block_until_ready is not a reliable fence on
 the tunneled backend).
 """
+import _path  # noqa: F401  (repo root on sys.path)
 import time
 
 import jax

@@ -1,6 +1,7 @@
 """Per-stage timing of the grid join at the hippo (toy) operating
 point: nq=200, dense-path pairs (K1=3200), QB=3200, 16 bases vmapped.
 Diagnoses the small-scale join cost that dominates hippo steps."""
+import _path  # noqa: F401  (repo root on sys.path)
 import time
 
 import jax

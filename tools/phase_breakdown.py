@@ -1,4 +1,5 @@
 """Fine-delta phase breakdown on TPU (perf baseline for ROADMAP #1)."""
+import _path  # noqa: F401  (repo root on sys.path)
 import json
 from bench import fine_delta_pair
 from super4pcs_tpu import MatchSuper4PCS, Options, PointCloud

@@ -1,6 +1,7 @@
 """Measure probe occupancy of the grid join on realistic fine-delta
 data (CPU; informs Options.join_probe_budget / cell_candidates
 defaults). Run from the repo root."""
+import _path  # noqa: F401  (repo root on sys.path)
 import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_platforms", "cpu")
 from bench import fine_delta_pair

@@ -10,6 +10,7 @@ item 4).
 Usage: python tools/ultra_scale.py [seed=5] [k=v ...]
 Prints one JSON line.
 """
+import _path  # noqa: F401  (repo root on sys.path)
 import json
 import sys
 
