@@ -53,19 +53,33 @@ def fine_delta_pair():
     return pos, q
 
 
+SEEDS = (1, 3, 5, 7, 11)
+
+
 def main():
     import numpy as np
     from super4pcs_tpu import MatchSuper4PCS, Options, PointCloud
     from super4pcs_tpu.io import read_object
 
     # --- headline: north-star scale (100k points, fine delta) ---
+    # Multi-seed median (VERDICT r2 #6): one seed on a tunneled
+    # high-variance device is not a headline; the median over 5 seeds
+    # is robust to both the RANSAC lottery and RPC stalls.
     pos, q = fine_delta_pair()
-    opts = (Options(delta=0.01, sample_size=8192, max_time_seconds=120,
-                    random_seed=5)
-            .configure_overlap(TARGET_LCP, terminate_threshold=TARGET_LCP))
-    res = MatchSuper4PCS(opts).compute_transformation(
-        PointCloud(pos=pos), PointCloud(pos=q))
-    search_s = res.stats.get("search_seconds", float("nan"))
+    per_seed = []
+    for seed in SEEDS:
+        opts = (Options(delta=0.01, sample_size=8192, max_time_seconds=120,
+                        random_seed=seed)
+                .configure_overlap(TARGET_LCP,
+                                   terminate_threshold=TARGET_LCP))
+        r = MatchSuper4PCS(opts).compute_transformation(
+            PointCloud(pos=pos), PointCloud(pos=q))
+        per_seed.append(
+            (r.stats.get("search_seconds", float("nan")), r))
+    per_seed.sort(key=lambda t: t[0])
+    search_s, res = per_seed[len(per_seed) // 2]   # median run
+    seed_times = [round(t, 3) for (t, _) in per_seed]
+    seed_lcps = sorted(round(r.score, 4) for (_, r) in per_seed)
 
     # --- context: hippo quality parity (reference demo config) ---
     hippo = {}
@@ -88,7 +102,7 @@ def main():
         }
 
     out = {
-        "metric": "fine100k_time_to_lcp0.7_s",
+        "metric": "fine100k_time_to_lcp0.7_s_median5seed",
         "value": round(float(search_s), 3),
         "unit": "s",
         # lower bound: the CPU baseline had not reached the target when
@@ -96,6 +110,9 @@ def main():
         "vs_baseline": round(CPU_BASELINE_FLOOR_S / max(search_s, 1e-9), 1),
         "lcp": round(res.score, 4),
         "trials": res.n_trials,
+        "seeds": list(SEEDS),
+        "seed_search_s": seed_times,      # sorted; value is the median
+        "seed_lcps": seed_lcps,
         "compile_s": round(res.stats.get("compile_seconds", 0.0), 1),
         "baseline": "cpu_super4pcs_serial DNF@560s lcp=0.594 (measured)",
         **hippo,

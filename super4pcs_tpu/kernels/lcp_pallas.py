@@ -73,12 +73,13 @@ def _min_d2_block(tq_ref_or_arr, p_ref, pi):
 C_TILE = 8         # candidates per grid step (sublane-divisible output)
 
 
-def _lcp_min_kernel(a_ref, q_ref, p_ref, out_ref, *, n_qtiles, n_ptiles):
+def _lcp_min_kernel(a_ref, q_ref, p_ref, out_ref, *, n_qtiles, n_ptiles,
+                    q_tile):
     for ci in range(C_TILE):
         a = a_ref[ci]                              # (8, 8)
 
         def q_body(qi, _, a=a, ci=ci):
-            qsl = pl.ds(qi * Q_TILE, Q_TILE)
+            qsl = pl.ds(qi * q_tile, q_tile)
             tq = jnp.dot(q_ref[qsl, :], a,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)  # (QT, 8)
@@ -88,20 +89,34 @@ def _lcp_min_kernel(a_ref, q_ref, p_ref, out_ref, *, n_qtiles, n_ptiles):
 
             m = jax.lax.fori_loop(
                 0, n_ptiles, p_body,
-                jnp.full((Q_TILE, 1), jnp.inf, dtype=jnp.float32))
+                jnp.full((q_tile, 1), jnp.inf, dtype=jnp.float32))
             out_ref[ci, qsl] = m[:, 0]
             return 0
 
         jax.lax.fori_loop(0, n_qtiles, q_body, 0)
 
 
+def _q_tile_of(nq: int) -> int:
+    """Adaptive query tile: full Q_TILE when Q fills it, else the
+    sublane-rounded Q size — small (e.g. coarse-verification) Q slabs
+    waste neither compute nor output lanes."""
+    return Q_TILE if nq >= Q_TILE else _round_up(max(nq, 8), 8)
+
+
 def candidate_min_sq_dists(transforms, q_pos, p_pos):
     """(C, Nq) exact min squared distances of every transformed query to
-    the P cloud — transforms applied in-kernel."""
+    the P cloud — transforms applied in-kernel.
+
+    This is the ONLY memory-safe layout at large C: any flattened
+    (C * Nq, 8) HBM staging of transformed queries is padded by XLA to
+    128 lanes — a 16x blowup that measured 2 x 7.9 GB (OOM) at the
+    258k-candidate coarse-verification stage of a 500-sample run. Here
+    transformed queries exist only as (q_tile, 8) VMEM blocks."""
     c = transforms.shape[0]
     c_pad = _round_up(max(c, C_TILE), C_TILE)
     nq = q_pos.shape[0]
-    nq_pad = _round_up(max(nq, 8), Q_TILE)
+    qt = _q_tile_of(nq)
+    nq_pad = _round_up(max(nq, 8), qt)
     np_pad = _round_up(max(p_pos.shape[0], 128), P_TILE)
 
     # homogeneous 8x8: rows of q8 are (x, y, z, 1, 0, 0, 0, 0)
@@ -116,8 +131,9 @@ def candidate_min_sq_dists(transforms, q_pos, p_pos):
 
     out = pl.pallas_call(
         functools.partial(_lcp_min_kernel,
-                          n_qtiles=nq_pad // Q_TILE,
-                          n_ptiles=np_pad // P_TILE),
+                          n_qtiles=nq_pad // qt,
+                          n_ptiles=np_pad // P_TILE,
+                          q_tile=qt),
         grid=(c_pad // C_TILE,),
         in_specs=[
             pl.BlockSpec((C_TILE, 8, 8), lambda i: (i, 0, 0),
@@ -139,21 +155,12 @@ def candidate_min_sq_dists(transforms, q_pos, p_pos):
 
 
 def lcp_scores_pallas(transforms, q_pos, p_pos, epsilon):
-    """Drop-in for ops.lcp.lcp_scores on TPU: (C,) LCP fractions."""
-    c = transforms.shape[0]
-    nq = q_pos.shape[0]
-    if nq < Q_TILE:
-        # small-Q: flattening (C*nq, 8) rows avoids the Q_TILE padding
-        # waste and its HBM temp stays modest (32 B/row)
-        rot = transforms[:, :3, :3]
-        trans = transforms[:, :3, 3]
-        tq = jnp.einsum('cij,nj->cni', rot, q_pos,
-                        precision=jax.lax.Precision.HIGHEST) \
-            + trans[:, None]
-        d2 = min_sq_dists(tq.reshape(c * nq, 3), p_pos).reshape(c, nq)
-    else:
-        # large-Q: apply the transform in-kernel; no (C, Nq, 3) temp
-        d2 = candidate_min_sq_dists(transforms, q_pos, p_pos)
+    """Drop-in for ops.lcp.lcp_scores on TPU: (C,) LCP fractions.
+
+    Always the in-kernel-transform path (adaptive q tile): a flattened
+    (C * Nq, 8) staging array was tried for small Q and OOMs at large C
+    from XLA's 8 -> 128 lane padding (see candidate_min_sq_dists)."""
+    d2 = candidate_min_sq_dists(transforms, q_pos, p_pos)
     eps2 = jnp.asarray(epsilon, jnp.float32) ** 2
     from ..ops.lcp import _masked_lcp_mean
     return _masked_lcp_mean(d2 <= eps2, q_pos)
@@ -266,15 +273,82 @@ def min_sq_dists_streamed(tq: jnp.ndarray, p_pos: jnp.ndarray):
     return out[:m, 0]
 
 
+def _lcp_min_stream_kernel(a_ref, q_ref, p_ref, out_ref, *, n_qtiles,
+                           q_tile):
+    """2-D grid (c tiles x p tiles, p fastest): transforms applied
+    in-kernel (same layout rationale as candidate_min_sq_dists),
+    min-reducing each (q_tile, P_TILE) d2 block into the revisited
+    (C_TILE, nq_pad) output block. The per-p-step re-application of the
+    8x8 transform matmul is noise next to the d2 block work."""
+    pi = pl.program_id(1)
+
+    @pl.when(pi == 0)
+    def _():
+        out_ref[:, :] = jnp.full(out_ref.shape, jnp.inf, jnp.float32)
+
+    for ci in range(C_TILE):
+        a = a_ref[ci]
+
+        def q_body(qi, _, a=a, ci=ci):
+            qsl = pl.ds(qi * q_tile, q_tile)
+            tq = jnp.dot(q_ref[qsl, :], a,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            d2 = (tq[:, 0:1] - p_ref[0:1, :]) ** 2
+            d2 += (tq[:, 1:2] - p_ref[1:2, :]) ** 2
+            d2 += (tq[:, 2:3] - p_ref[2:3, :]) ** 2
+            m = jnp.min(d2, axis=1)
+            out_ref[ci, qsl] = jnp.minimum(out_ref[ci, qsl], m)
+            return 0
+
+        jax.lax.fori_loop(0, n_qtiles, q_body, 0)
+
+
+def candidate_min_sq_dists_streamed(transforms, q_pos, p_pos):
+    """(C, Nq) min squared distances with P streamed tile-by-tile
+    through the Pallas pipeline (P beyond VMEM residency, up to
+    millions of points); Q stays VMEM-resident (<= MAX_Q_VMEM)."""
+    c = transforms.shape[0]
+    c_pad = _round_up(max(c, C_TILE), C_TILE)
+    nq = q_pos.shape[0]
+    qt = _q_tile_of(nq)
+    nq_pad = _round_up(max(nq, 8), qt)
+    np_pad = _round_up(max(p_pos.shape[0], 128), P_TILE)
+
+    a = jnp.zeros((c_pad, 8, 8), jnp.float32)
+    a = a.at[:c, :3, :3].set(jnp.swapaxes(transforms[:, :3, :3], 1, 2))
+    a = a.at[:c, 3, :3].set(transforms[:, :3, 3])
+    q8 = jnp.zeros((nq_pad, 8), jnp.float32)
+    q8 = q8.at[:nq, :3].set(q_pos)
+    q8 = q8.at[:, 3].set(1.0)
+    p8t = _p8t_of(p_pos, np_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_lcp_min_stream_kernel,
+                          n_qtiles=nq_pad // qt, q_tile=qt),
+        grid=(c_pad // C_TILE, np_pad // P_TILE),
+        in_specs=[
+            pl.BlockSpec((C_TILE, 8, 8), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq_pad, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, P_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C_TILE, nq_pad), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c_pad, nq_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * c_pad * nq_pad * np_pad, transcendentals=0,
+            bytes_accessed=(c_pad // C_TILE) * np_pad * 32
+            + c_pad * 256 + nq_pad * 32 + c_pad * nq_pad * 4),
+    )(a, q8, p8t)
+    return out[:c, :nq]
+
+
 def lcp_scores_pallas_streamed(transforms, q_pos, p_pos, epsilon):
     """LCP fractions with P streamed (P beyond the VMEM-resident cap)."""
-    c = transforms.shape[0]
-    nq = q_pos.shape[0]
-    rot = transforms[:, :3, :3]
-    trans = transforms[:, :3, 3]
-    tq = jnp.einsum('cij,nj->cni', rot, q_pos,
-                    precision=jax.lax.Precision.HIGHEST) + trans[:, None]
-    d2 = min_sq_dists_streamed(tq.reshape(c * nq, 3), p_pos)
+    d2 = candidate_min_sq_dists_streamed(transforms, q_pos, p_pos)
     eps2 = jnp.asarray(epsilon, jnp.float32) ** 2
     from ..ops.lcp import _masked_lcp_mean
-    return _masked_lcp_mean(d2.reshape(c, nq) <= eps2, q_pos)
+    return _masked_lcp_mean(d2 <= eps2, q_pos)

@@ -40,6 +40,7 @@ from .cloud import PointCloud
 from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
                       K_NUMBER_OF_DIAMETER_TRIALS)
 from .ops import congruent, geometry, lcp, refine, sampling, select
+from .ops.band_extract import build_band_index, extract_pairs_banded_both
 from .ops.masking import masked_indices
 from .ops.pairs import (PairFilterConfig, extract_pairs,
                         extract_pairs_rowcap_layout_both)
@@ -101,10 +102,32 @@ def resolve_bases_per_step(opts: Options, nq: int,
     return b
 
 
-def _build_try_base(opts: Options, nq: int, cone_tol: float):
+def resolve_pair_engine(opts: Options, nq: int,
+                        have_band_index: bool = True) -> str:
+    """Effective pair-extraction engine (see Options.pair_engine):
+    dense masking at toy nq, row-capped capture in the middle, the
+    banded sorted-table engine at large nq (where Theta(nq^2) mask
+    evaluation dominates a step). Callers that cannot carry a
+    per-cloud band index (the pairs-axis vmap of parallel/batch.py)
+    pass have_band_index=False and get the rowcap fallback."""
+    e = opts.pair_engine
+    if e == "auto":
+        e = ("dense" if nq <= 2048
+             else ("rowcap" if nq < 32768 else "banded"))
+    if e == "banded" and not have_band_index:
+        e = "rowcap" if nq > 2048 else "dense"
+    return e
+
+
+def _build_try_base(opts: Options, nq: int, cone_tol: float,
+                    band_index=None):
     """Build the single-base trial function shared by the production
     step (:func:`build_step`) and the phase probes
     (:func:`build_phase_probes`).
+
+    ``band_index``: a prebuilt ops.band_extract.BandIndex when the
+    resolved engine is "banded" (the matcher builds it once per run in
+    _init; builders without one fall back per resolve_pair_engine).
 
     Returns (try_base, (k_pairs, k_quads, n_cands)).
     """
@@ -123,10 +146,19 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     # 0.78-0.99 at 16 * nq.
     # (widened proportionally under coarse search: the distance band —
     # and so the per-row hit count — scales with search_delta_factor)
-    k_pairs = opts.max_pairs or _round_up(
-        min(nq * nq,
-            max(int((64 if nq > 2048 else 16) * nq
-                    * max(opts.search_delta_factor, 1.0)), 512)), 128)
+    if opts.max_pairs:
+        k_pairs = opts.max_pairs
+    elif opts.estimate_scale and nq <= 2048:
+        # similarity mode disables the distance filter, so EVERY ordered
+        # (i, j) is a hit — the band-scaled heuristic below undersizes
+        # by ~nq/16x and the capture prefix silently loses most true
+        # pairs. Size for the full set (it is the exact count).
+        k_pairs = _round_up(nq * (nq - 1), 128)
+    else:
+        k_pairs = _round_up(
+            min(nq * nq,
+                max(int((64 if nq > 2048 else 16) * nq
+                        * max(opts.search_delta_factor, 1.0)), 512)), 128)
     k_quads = _round_up(
         opts.max_quads or min(max(8 * nq, 512), 8192), 128)
     n_cands = min(opts.max_candidates or opts.bases_per_step * k_quads,
@@ -172,18 +204,35 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     # at toy scale) — and it is exact: no per-cell cap, no cell_dropped
     # pressure. The element budget bounds the vmapped mask + compaction
     # footprint (k_pairs^2 * B bools + one cumsum).
-    dense_join = (nq <= 2048
+    engine = resolve_pair_engine(opts, nq, band_index is not None)
+    dense_join = (not opts.force_grid_join
+                  and engine == "dense"
                   and k_pairs * k_pairs * b_per_step <= (1 << 30))
+    # scale mode: rotate the dense capture per base (see extract_pairs
+    # row_offset) — with the distance filter off, overflow capture bias
+    # is systematic, not incidental
+    rotate_dense = opts.estimate_scale
 
-    if nq <= 2048:
+    if engine == "dense":
         join_row_cap = None
 
         def _extract_both(pos, normal, rgb, bpos, bnorm, brgb, eps,
                           pcfg, col_offset=None):
+            ro = col_offset if rotate_dense else None
             return (extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
-                                  0, 1, eps, pcfg, capacity=k_pairs),
+                                  0, 1, eps, pcfg, capacity=k_pairs,
+                                  row_offset=ro),
                     extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
-                                  2, 3, eps, pcfg, capacity=k_pairs))
+                                  2, 3, eps, pcfg, capacity=k_pairs,
+                                  row_offset=ro))
+    elif engine == "banded":
+        join_row_cap = None
+        pc = band_index.pc
+        cell_pair_cap = opts.band_cell_pair_cap or max(
+            8192, 2 * k_pairs // max(pc * pc, 1))
+        _extract_both = functools.partial(
+            extract_pairs_banded_both, band_index,
+            cell_pair_cap=cell_pair_cap)
     else:
         join_row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
             5 * k_pairs // (2 * nq), 32)))
@@ -210,22 +259,33 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
         # angle between the two base segments (ref:super4pcs.cc:109-111)
         s1 = base_pos[1] - base_pos[0]
         s2 = base_pos[3] - base_pos[2]
-        cos_alpha = jnp.dot(
-            s1 / jnp.maximum(jnp.linalg.norm(s1), 1e-30),
-            s2 / jnp.maximum(jnp.linalg.norm(s2), 1e-30))
+        n_s1 = jnp.maximum(jnp.linalg.norm(s1), 1e-30)
+        n_s2 = jnp.maximum(jnp.linalg.norm(s2), 1e-30)
+        cos_alpha = jnp.dot(s1 / n_s1, s2 / n_s2)
+        # similarity mode: the join applies the reference's MULTISCALE
+        # ratioDev gate (ref:match4pcsBase.cc:390-414) as an exact mask
+        # BEFORE the quad-capacity compaction (see find_congruent_quads)
+        if opts.estimate_scale:
+            seg_ratio = n_s1 / n_s2
+            scale_band = geometry.SCALE_RATIO_DEV
+        else:
+            seg_ratio = None
+            scale_band = -1.0
 
         if dense_join:
             quads, qvalid, qcount = congruent.find_congruent_quads(
                 q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
                 dist_thr, cos_alpha, cone_tol, k_quads,
                 direction_bins=opts.direction_bins,
-                healpix_nside=opts.healpix_nside)
+                healpix_nside=opts.healpix_nside,
+                seg_ratio=seg_ratio, scale_band=scale_band)
             qdropped = jnp.int32(0)
         else:
             quads, qvalid, qcount, qdropped = \
                 congruent.find_congruent_quads_grid(
                     q_pos, pairs1, v1, pairs2, v2, inv1, inv2,
                     dist_thr, cos_alpha, cone_tol, k_quads,
+                    seg_ratio=seg_ratio, scale_band=scale_band,
                     cell_candidates=opts.cell_candidates,
                     q_budget=opts.join_q_budget,
                     direction_bins=opts.direction_bins,
@@ -278,7 +338,7 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float):
     return try_base, (k_pairs, k_quads, n_cands)
 
 
-def build_step(opts: Options, nq: int, cone_tol: float):
+def build_step(opts: Options, nq: int, cone_tol: float, band_index=None):
     """Build the jittable RANSAC device step.
 
     A module-level builder so the same program serves three execution
@@ -297,7 +357,7 @@ def build_step(opts: Options, nq: int, cone_tol: float):
     """
     if opts.bases_per_step is None:
         opts = opts.replace(bases_per_step=resolve_bases_per_step(opts, nq))
-    try_base, caps = _build_try_base(opts, nq, cone_tol)
+    try_base, caps = _build_try_base(opts, nq, cone_tol, band_index)
     k_pairs, k_quads, n_cands = caps
     b_per_step = opts.bases_per_step
     delta = opts.delta
@@ -379,7 +439,8 @@ def build_step(opts: Options, nq: int, cone_tol: float):
     return step, (k_pairs, k_quads, n_cands)
 
 
-def build_phase_probes(opts: Options, nq: int, cone_tol: float):
+def build_phase_probes(opts: Options, nq: int, cone_tol: float,
+                       band_index=None):
     """Telescoped sub-programs of the device step for phase timing.
 
     The production step fuses select/extract/join/fit/verify into one
@@ -392,7 +453,7 @@ def build_phase_probes(opts: Options, nq: int, cone_tol: float):
     Returns {"extract": fn, "join": fn, "fit": fn} with the step
     signature.
     """
-    try_base, _ = _build_try_base(opts, nq, cone_tol)
+    try_base, _ = _build_try_base(opts, nq, cone_tol, band_index)
 
     def _vmapped(keys, diam, p_pos, p_norm, p_rgb, q_pos, q_norm, q_rgb):
         return jax.vmap(lambda k: try_base(
@@ -577,6 +638,22 @@ class Match4PCSBase:
 
         self.logger.verbose("norm_max_dist: ", opts.delta)
 
+        # banded pair engine: the once-per-run sorted cell-pair table
+        # over the (centered) Q samples (see ops/band_extract.py and
+        # Options.pair_engine)
+        nq_samples = len(sampled_q)
+        if resolve_pair_engine(opts, nq_samples) == "banded":
+            self._band_index = build_band_index(
+                q_pos, opts.delta, cell_budget=opts.band_cell_budget)
+            self._stats_band = {
+                "band_cells": self._band_index.m,
+                "band_cell_size": self._band_index.g,
+                "band_member_dropped": self._band_index.member_dropped,
+            }
+        else:
+            self._band_index = None
+            self._stats_band = {}
+
         # device-resident arrays
         f32 = jnp.float32
         self._d_p_pos = jnp.asarray(p_pos, f32)
@@ -593,6 +670,7 @@ class Match4PCSBase:
         self._stats = {
             "pairs_overflow": 0, "quads_overflow": 0,
             "cands_overflow": 0, "n_congruent": 0, "cell_dropped": 0,
+            **self._stats_band,
         }
 
         # best-so-far state (ref:match4pcsBase.h:131-161)
@@ -646,7 +724,8 @@ class Match4PCSBase:
                 self.options, nq,
                 self._mesh.size if self._mesh is not None else 1)
         opts = self._opts_eff()
-        step, caps = build_step(opts, nq, self._cone_mode)
+        step, caps = build_step(opts, nq, self._cone_mode,
+                                band_index=self._band_index)
         self._step_raw = step
         if self._mesh is not None:
             from .parallel import sharded_step
@@ -841,7 +920,8 @@ class Match4PCSBase:
         from .utils.timer import PhaseTimers
 
         nq = int(self._d_q_pos.shape[0])
-        probes = build_phase_probes(self._opts_eff(), nq, self._cone_mode)
+        probes = build_phase_probes(self._opts_eff(), nq, self._cone_mode,
+                                    band_index=self._band_index)
 
         def best_of(fn):
             jax.block_until_ready(fn(*args))       # compile + warm

@@ -1,0 +1,354 @@
+"""Output-sensitive pair extraction: sorted cell-pair distance table.
+
+The TPU-native re-design of the reference's sphere-shell rasterization
+engine (``IntersectionFunctor``, ref:src/super4pcs/accelerators/
+pairExtraction/intersectionFunctor.h:105-233): the reference prunes the
+O(n^2) pair space with an adaptive 2^d-tree so a scalar CPU touches only
+cells near some sphere shell. Here the same pruning is one range query:
+
+- **once per run** (Q is fixed for the whole search) the Q samples are
+  bucketed into a voxel grid (cell size auto-fit to a cell budget), and
+  the distances between ALL ordered cell-center pairs are sorted on
+  device into one global table. ~O(M^2 log M) once, M = occupied cells;
+- **per base edge** the pairs at distance ``d +- eps`` live in cell
+  pairs whose center distance is in ``d +- (eps + sqrt(3) g)`` — ONE
+  CONTIGUOUS RANGE of the sorted table, found by binary search (the
+  per-step cost is output-sensitive: two log2(M^2) probes plus work
+  proportional to the cell pairs actually in the band);
+- each in-band cell pair expands to its members' point pairs (cell
+  member lists are padded to ``pc`` slots), which are validated with
+  the EXACT pair predicate (distance band + normal/color/translation/
+  angle filters — identical semantics to ops/pairs.py, pinned by a
+  set-equality parity test vs extract_pairs).
+
+Static-shape discipline: the expansion takes ``cell_pair_cap`` table
+entries per edge (a traced random rotation decorrelates which ones when
+the band overflows), each contributing ``pc^2`` candidate slots; every
+drop (band overflow, member-cap overflow) is counted in candidate-pair
+units like the grid join's cell_dropped telemetry. All caps generous by
+default — at reference operating points the band fits entirely.
+
+Why this beats the dense/rowcap engines at scale: their mask evaluation
+is Theta(nq^2) per base edge regardless of output size (fine to
+nq ~ 8k, ~16x/step more FLOPs at 32k); here a step's extraction work
+scales with the TRUE number of near-band candidates. The once-per-run
+table sort is amortized over every step of the search.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .masking import masked_indices
+from .pairs import PairFilterConfig
+
+_SQRT3 = math.sqrt(3.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class BandIndex:
+    """Once-per-run spatial index over the (centered) Q samples.
+
+    Device arrays:
+      members:     (M_cap, pc) int32 — point ids per occupied cell,
+                   padded with ``n`` (callers clamp; valid via occ).
+      occ:         (M_cap,) int32 — true member count per cell (may
+                   exceed pc; the excess is counted in member_dropped).
+      centers:     (M_cap, 3) f32 — geometric cell centers (occupied
+                   cells; padding rows carry +inf so their distances
+                   sort to the table's tail).
+      sorted_pair: (M_cap * M_cap,) int32 — ordered cell-pair ids
+                   (a * M_cap + b) sorted by ascending center distance.
+                   Distances are NOT stored: binary-search probes
+                   recompute them from ``centers`` (halves the table's
+                   HBM footprint; the search does ~2 log2(M^2) probes).
+    Host scalars:
+      g: cell size; m: occupied cell count; n: point count;
+      member_dropped: points beyond the pc member cap (whole run).
+    """
+    members: jnp.ndarray
+    occ: jnp.ndarray
+    centers: jnp.ndarray
+    sorted_pair: jnp.ndarray
+    g: float
+    m: int
+    n: int
+    pc: int
+    member_dropped: int
+
+
+def build_band_index(q_pos: np.ndarray, delta: float,
+                     cell_budget: int = 8192,
+                     pc: int | None = None) -> BandIndex:
+    """Build the index. Host does the (cheap) bucketing; the O(M^2)
+    distance table is sorted on device.
+
+    ``cell_budget``: static cap on occupied cells — the cell size g
+    starts at 2 * delta (the sampler guarantees >= delta point spacing,
+    so occupancy stays small) and doubles until the occupied count
+    fits. ``pc``: member slots per cell (default: the observed max
+    occupancy, capped at 32).
+    """
+    q = np.asarray(q_pos, np.float32)
+    n = q.shape[0]
+    g = 2.0 * float(delta)
+    for _ in range(40):
+        cells = np.floor(q / g).astype(np.int64)
+        # pack to a unique key (same packed-int scheme as the sampler)
+        mn = cells.min(axis=0)
+        c = cells - mn
+        span = int(c.max()) + 2
+        key = (c[:, 0] * span + c[:, 1]) * span + c[:, 2]
+        uniq, inv_idx, counts = np.unique(
+            key, return_inverse=True, return_counts=True)
+        if len(uniq) <= cell_budget:
+            break
+        g *= 2.0
+    m = len(uniq)
+    m_cap = m  # static per run; rebuilt per run anyway
+
+    if pc is None:
+        pc = int(min(max(counts.max(), 1), 32))
+    order = np.argsort(inv_idx, kind="stable")
+    starts = np.zeros(m, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    members = np.full((m_cap, pc), n, np.int32)
+    occ = counts.astype(np.int32)
+    member_dropped = int(np.maximum(counts - pc, 0).sum())
+    take = np.minimum(counts, pc)
+    for s in range(pc):
+        rows = take > s
+        members[rows, s] = order[starts[rows] + s]
+
+    # geometric centers of occupied cells (original coordinates)
+    cell_coords = np.stack([(uniq // (span * span)),
+                            (uniq // span) % span,
+                            uniq % span], axis=1).astype(np.float64)
+    centers = ((cell_coords + mn + 0.5) * g).astype(np.float32)
+
+    # device: all ordered cell-pair center distances, sorted ascending,
+    # carrying only the packed pair id (distance recomputed on probe)
+    d_centers = jnp.asarray(centers)
+
+    @jax.jit
+    def _sort_table(cen):
+        d2 = (jnp.sum(cen * cen, -1)[:, None]
+              + jnp.sum(cen * cen, -1)[None, :]
+              - 2.0 * jnp.einsum('id,jd->ij', cen, cen,
+                                 precision='highest'))
+        d2 = jnp.maximum(d2, 0.0).reshape(-1)
+        ids = jnp.arange(m_cap * m_cap, dtype=jnp.int32)
+        _, pair = jax.lax.sort((d2, ids), num_keys=1)
+        return pair
+
+    sorted_pair = _sort_table(d_centers)
+    return BandIndex(members=jnp.asarray(members), occ=jnp.asarray(occ),
+                     centers=d_centers, sorted_pair=sorted_pair,
+                     g=g, m=m, n=n, pc=pc,
+                     member_dropped=member_dropped)
+
+
+def _pair_dist(idx: BandIndex, t):
+    """Center distance of table entries ``t`` (recomputed, not stored)."""
+    pid = idx.sorted_pair[t]
+    a = pid // idx.m
+    b = pid % idx.m
+    return jnp.linalg.norm(idx.centers[a] - idx.centers[b], axis=-1)
+
+
+def _searchsorted_table(idx: BandIndex, value):
+    """First table position whose center distance >= value (binary
+    search over the sorted table, distance recomputed per probe)."""
+    total = idx.m * idx.m
+    lo = jnp.int32(0)
+    hi = jnp.int32(total)
+    steps = max(int(math.ceil(math.log2(max(total, 2)))) + 1, 1)
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        below = _pair_dist(idx, mid) < value
+        return (jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid))
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def band_pair_mask(pu, pv, nu, nv, cu, cv,
+                   base_p0_pos, base_p1_pos, base_p0_norm, base_p1_norm,
+                   base_p0_rgb, base_p1_rgb,
+                   pair_distance, pair_normals_angle,
+                   pair_distance_epsilon, cfg: PairFilterConfig):
+    """Elementwise ordered-pair predicate on candidate slots — the same
+    semantics as ops/pairs.ordered_pair_mask (each filter in ordered
+    form, see its docstring) evaluated pointwise on gathered candidate
+    attributes instead of a dense row block. Parity is pinned by
+    tests/test_band_extract.py against the extract_pairs oracle."""
+    dist = jnp.linalg.norm(pv - pu, axis=-1)
+    mask = jnp.ones(dist.shape, bool)
+    if cfg.use_distance_filter:
+        mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
+
+    if cfg.max_normal_difference > 0:
+        both = (jnp.sum(nu * nu, -1) > 0) & (jnp.sum(nv * nv, -1) > 0)
+        first_ang = jnp.linalg.norm(nu - nv, axis=-1)
+        second_ang = jnp.linalg.norm(nu + nv, axis=-1)
+        nd = jnp.minimum(jnp.abs(first_ang - pair_normals_angle),
+                         jnp.abs(second_ang - pair_normals_angle))
+        thr = 0.5 * cfg.max_normal_difference * math.pi / 180.0
+        mask &= jnp.where(both, nd <= thr, True)
+
+    if cfg.max_color_distance > 0:
+        base_has = (base_p0_rgb[0] >= 0) & (base_p1_rgb[0] >= 0)
+        use_rgb = (cu[..., 0] >= 0) & (cv[..., 0] >= 0) & base_has
+        good = ((jnp.linalg.norm(cu - base_p0_rgb, axis=-1)
+                 < cfg.max_color_distance)
+                & (jnp.linalg.norm(cv - base_p1_rgb, axis=-1)
+                   < cfg.max_color_distance))
+        mask &= jnp.where(use_rgb, good, True)
+
+    if cfg.max_translation_distance > 0:
+        mask &= ((jnp.linalg.norm(pu - base_p0_pos, axis=-1)
+                  < cfg.max_translation_distance)
+                 & (jnp.linalg.norm(pv - base_p1_pos, axis=-1)
+                    < cfg.max_translation_distance))
+
+    if cfg.max_angle > 0:
+        seg1 = base_p1_pos - base_p0_pos
+        seg1 = seg1 / jnp.linalg.norm(seg1)
+        seg2 = (pv - pu) / jnp.maximum(dist, 1e-30)[..., None]
+        cosang = jnp.clip(jnp.sum(seg2 * seg1, axis=-1), -1.0, 1.0)
+        mask &= jnp.arccos(cosang) <= cfg.max_angle * math.pi / 180.0
+
+    return mask
+
+
+def extract_pairs_banded(
+    idx: BandIndex,
+    pos, normal, rgb,
+    base_pos, base_norm, base_rgb,
+    edge0: int, edge1: int,
+    pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    cell_pair_cap: int,
+    rot_offset=None,
+):
+    """Extract ordered pairs matching one base edge through the band
+    index. Output layout mirrors extract_pairs_rowcap_layout: raw
+    candidate slots ``(cell_pair_cap * pc^2, 2)`` pairs + valid mask
+    (the congruent join consumes any (pairs, valid) layout), plus
+    ``(count, dropped)`` where count is the number of validated hits
+    and dropped the candidate-pair-unit loss (band entries beyond the
+    cap x their occupancy products, plus the run-constant member-cap
+    loss is reported by the index build). ``rot_offset`` (traced)
+    rotates WHICH band entries are kept under overflow, decorrelating
+    the capture lottery across trials.
+    """
+    b0p, b1p = base_pos[edge0], base_pos[edge1]
+    pair_distance = jnp.linalg.norm(b0p - b1p)
+    pair_normals_angle = jnp.linalg.norm(
+        base_norm[edge0] - base_norm[edge1])
+
+    # conservative cell-level band: any point pair at distance within
+    # d +- eps lives in a cell pair whose center distance is within
+    # d +- (eps + sqrt(3) g)
+    slack = pair_distance_epsilon + _SQRT3 * idx.g
+    lo = _searchsorted_table(idx, pair_distance - slack)
+    hi = _searchsorted_table(idx, pair_distance + slack)
+    span = hi - lo
+
+    cp = cell_pair_cap
+    s = jnp.arange(cp, dtype=jnp.int32)
+    if rot_offset is None:
+        off = jnp.int32(0)
+    else:
+        off = jnp.asarray(rot_offset, jnp.int32)
+    take = jnp.where(span <= cp, lo + s,
+                     lo + (off % jnp.maximum(span, 1) + s)
+                     % jnp.maximum(span, 1))
+    take = jnp.clip(take, 0, idx.m * idx.m - 1)
+    live = s < jnp.minimum(span, cp)
+
+    pid = idx.sorted_pair[take]                      # (CP,)
+    ca = jnp.where(live, pid // idx.m, 0)
+    cb = jnp.where(live, pid % idx.m, 0)
+
+    pc = idx.pc
+    mu = idx.members[ca]                             # (CP, pc)
+    mv = idx.members[cb]
+    occ_u = jnp.minimum(idx.occ[ca], pc)
+    occ_v = jnp.minimum(idx.occ[cb], pc)
+    slot = jnp.arange(pc, dtype=jnp.int32)
+    mval_u = slot[None, :] < occ_u[:, None]          # (CP, pc)
+    mval_v = slot[None, :] < occ_v[:, None]
+
+    u_ids = jnp.minimum(mu, idx.n - 1)
+    v_ids = jnp.minimum(mv, idx.n - 1)
+    pu = pos[u_ids]                                  # (CP, pc, 3)
+    pv = pos[v_ids]
+
+    # expanded (CP, pc_u, pc_v) candidate slots
+    uu = u_ids[:, :, None]
+    vv = v_ids[:, None, :]
+    cand_ok = (live[:, None, None] & mval_u[:, :, None]
+               & mval_v[:, None, :] & (uu != vv))
+
+    kw = {}
+    if cfg.max_normal_difference > 0:
+        kw["nu"] = normal[u_ids][:, :, None, :]
+        kw["nv"] = normal[v_ids][:, None, :, :]
+    else:
+        kw["nu"] = kw["nv"] = jnp.zeros((1, 1, 1, 3), pos.dtype)
+    if cfg.max_color_distance > 0:
+        kw["cu"] = rgb[u_ids][:, :, None, :]
+        kw["cv"] = rgb[v_ids][:, None, :, :]
+    else:
+        kw["cu"] = kw["cv"] = jnp.full((1, 1, 1, 3), -1.0, pos.dtype)
+
+    mask = cand_ok & band_pair_mask(
+        pu[:, :, None, :], pv[:, None, :, :], kw["nu"], kw["nv"],
+        kw["cu"], kw["cv"],
+        b0p, b1p, base_norm[edge0], base_norm[edge1],
+        base_rgb[edge0], base_rgb[edge1],
+        pair_distance, pair_normals_angle, pair_distance_epsilon, cfg)
+
+    pairs = jnp.stack([jnp.broadcast_to(uu, mask.shape).reshape(-1),
+                       jnp.broadcast_to(vv, mask.shape).reshape(-1)],
+                      axis=-1).astype(jnp.int32)
+    valid = mask.reshape(-1)
+    count = jnp.sum(mask, dtype=jnp.int32)
+
+    # overflow: band entries beyond the cap, in candidate-pair units
+    # (their occupancy products — the exact number of candidate slots
+    # never examined; the true-hit subset of those is unknowable
+    # without evaluating them, same convention as the join's
+    # cell_dropped)
+    over = jnp.maximum(span - cp, 0)
+    # approximate each dropped entry by the mean kept occupancy product
+    mean_prod = jnp.sum(jnp.where(live, occ_u * occ_v, 0)) \
+        / jnp.maximum(jnp.sum(live), 1)
+    dropped = (over * mean_prod).astype(jnp.int32)
+    return pairs, valid, count, dropped
+
+
+def extract_pairs_banded_both(
+    idx: BandIndex,
+    pos, normal, rgb,
+    base_pos, base_norm, base_rgb,
+    pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    cell_pair_cap: int,
+    col_offset=None,
+):
+    """Both base edges through the band index (the _extract_both
+    contract of matcher._build_try_base)."""
+    out = []
+    for (e0, e1) in ((0, 1), (2, 3)):
+        out.append(extract_pairs_banded(
+            idx, pos, normal, rgb, base_pos, base_norm, base_rgb,
+            e0, e1, pair_distance_epsilon, cfg, cell_pair_cap,
+            rot_offset=col_offset))
+    return tuple(out)

@@ -117,6 +117,8 @@ def find_congruent_quads(
     direction_bins: str = "cone",
     healpix_nside: int = 4,
     healpix_samples: int = 32,
+    seg_ratio=None,
+    scale_band: float = -1.0,
 ):
     """Join the two pair sets on invariant-point proximity.
 
@@ -125,6 +127,17 @@ def find_congruent_quads(
     the reference's ``IndexedNormalHealSet`` analog — see
     :func:`healpix_circle_pixels`). Ignored when
     ``cone_cos_tolerance < 0``.
+
+    ``scale_band`` >= 0 enables the similarity-mode scale-consistency
+    mask (the reference's MULTISCALE ratioDev gate,
+    ref:match4pcsBase.cc:390-414, applied there only at fit time): a
+    candidate passes iff the scales implied by its two pairs agree —
+    ``| (d1 / len1) / (d2 / len2) - 1 | <= scale_band`` with
+    ``seg_ratio = d1 / d2`` the base's segment-length ratio (traced
+    scalar). With the pair distance filter off (estimate_scale) the
+    invariant-point join alone floods the capacity with scale-
+    inconsistent collisions that the fit gate would reject anyway;
+    masking them here keeps true candidates inside ``capacity``.
 
     Returns (quads (capacity, 4) int32 = (a, b, c, d), valid (capacity,),
     count). Quad layout matches ref:super4pcs.cc:172-173:
@@ -137,6 +150,16 @@ def find_congruent_quads(
     d2 = jnp.sum((e1[:, None, :] - e2[None, :, :]) ** 2, axis=-1)
     mask = d2 <= distance_threshold * distance_threshold
     mask = mask & valid1[:, None] & valid2[None, :]
+
+    if scale_band >= 0:
+        len1 = jnp.linalg.norm(pos[pairs1[:, 1]] - pos[pairs1[:, 0]],
+                               axis=-1)                        # (K1,)
+        len2 = jnp.linalg.norm(pos[pairs2[:, 1]] - pos[pairs2[:, 0]],
+                               axis=-1)                        # (K2,)
+        # ratio1/ratio2 = (d1/len1) / (d2/len2) = seg_ratio * len2/len1
+        rr = (seg_ratio * len2[None, :]
+              / jnp.maximum(len1[:, None], 1e-30))
+        mask = mask & (jnp.abs(rr - 1.0) <= scale_band)
 
     if cone_cos_tolerance >= 0:
         dir1 = pair_directions(pos, pairs1)
@@ -208,6 +231,8 @@ def find_congruent_quads_grid(
     row_cap: int | None = None,
     probe_budget: int | None = None,
     cell_size: float | None = None,
+    seg_ratio=None,
+    scale_band: float = -1.0,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -467,13 +492,20 @@ def find_congruent_quads_grid(
              for c, (_, _, ec) in enumerate(g))               # (L, PB)
     mask = in_cell & (d2 <= r * r)
 
-    if use_dir:
+    if use_dir or scale_band >= 0:
         d2v = b2 - a2
-        dir2 = d2v / jnp.maximum(
-            jnp.linalg.norm(d2v, axis=-1, keepdims=True), 1e-30)
         dxc = [bc - ac for (ac, bc, _) in g]                  # (L, PB) x3
         n1g = jnp.maximum(jnp.sqrt(
             dxc[0] ** 2 + dxc[1] ** 2 + dxc[2] ** 2), 1e-30)
+    if use_dir:
+        dir2 = d2v / jnp.maximum(
+            jnp.linalg.norm(d2v, axis=-1, keepdims=True), 1e-30)
+    if scale_band >= 0:
+        # similarity-mode scale-consistency gate (see the dense oracle's
+        # docstring): |seg_ratio * len2 / len1 - 1| <= scale_band
+        len2 = jnp.linalg.norm(d2v, axis=-1)                  # (QB,)
+        rr = seg_ratio * len2[qi][None, :] / n1g              # (L, PB)
+        mask &= jnp.abs(rr - 1.0) <= scale_band
     if use_healpix:
         circ = healpix_circle_pixels(
             dir2, base_cos_alpha, healpix_nside, healpix_samples)

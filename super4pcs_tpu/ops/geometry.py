@@ -15,6 +15,14 @@ from ..options import K_LARGE_NUMBER
 
 _K_SMALL = 1e-4   # kSmallNumber, ref:match4pcsBase.cc:70
 
+#: Similarity-mode scale-consistency gate: the two segment-length ratios
+#: of a candidate quad may deviate at most this much from each other
+#: (ref:match4pcsBase.cc:402 ``ratioDev > 0.1 -> reject``). Shared with
+#: the congruent join, which applies the same gate BEFORE its capacity
+#: compaction so scale-inconsistent collisions never crowd out true
+#: candidates (they would all be rejected here anyway).
+SCALE_RATIO_DEV = 0.1
+
 
 def clean_invalid_normals(normal: np.ndarray) -> tuple[np.ndarray, int]:
     """Zero out degenerate normals, normalize the rest.
@@ -165,7 +173,8 @@ def batched_rigid_fit(ref_quad, cand_quads, centroid1, centroid2,
             seg_len(cand_quads[:, 1], cand_quads[:, 0]), 1e-30)
         r2 = seg_len(ref_quad[3], ref_quad[2]) / jnp.maximum(
             seg_len(cand_quads[:, 3], cand_quads[:, 2]), 1e-30)
-        scale_ok = jnp.abs(r1 / jnp.maximum(r2, 1e-30) - 1.0) <= 0.1
+        scale_ok = (jnp.abs(r1 / jnp.maximum(r2, 1e-30) - 1.0)
+                    <= SCALE_RATIO_DEV)
         scale = 0.5 * (r1 + r2)
         cand_quads = cand_quads * scale[:, None, None]
         centroid2 = centroid2 * scale[:, None]

@@ -92,7 +92,8 @@ def lcp_scores(transforms, q_pos, p_pos, epsilon,
         if lcp_pallas.supported(np_count, nq_count):
             return lcp_pallas.lcp_scores_pallas(
                 transforms, q_pos, p_pos, epsilon)
-        if (lcp_pallas.supported(0, 0) and nq_count < lcp_pallas.Q_TILE
+        if (lcp_pallas.supported(0, 0)
+                and nq_count <= lcp_pallas.MAX_Q_VMEM
                 and np_count <= lcp_pallas.MAX_P_STREAM):
             # P too big for VMEM residency: stream it through the
             # Pallas pipeline instead of falling back to XLA

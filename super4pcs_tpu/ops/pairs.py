@@ -97,6 +97,7 @@ def extract_pairs(
     pair_distance_epsilon,
     cfg: PairFilterConfig,
     capacity: int,
+    row_offset=None,
 ):
     """Extract ordered pairs matching one base edge, compacted to a
     static buffer.
@@ -105,6 +106,14 @@ def extract_pairs(
     dropped). ``count`` is the exact number of pairs pre-cap and
     ``dropped`` the exact number of emissions missing from the buffer —
     the "never silently truncate without counting" invariant.
+
+    ``row_offset`` (traced scalar) rotates the capture preference: the
+    compaction keeps hits in row-major order starting at row
+    ``row_offset`` (wrapping). Matters only under overflow — without it
+    the surviving prefix is the SAME low-index rows every trial, so a
+    true pair outside it is lost for the whole run (the dense-path
+    analog of extract_pairs_rowcap's col_offset; essential in
+    estimate_scale mode where every (i, j) is a hit).
     """
     b0p, b1p = base_pos[edge0], base_pos[edge1]
     pair_distance = jnp.linalg.norm(b0p - b1p)
@@ -117,8 +126,14 @@ def extract_pairs(
         pair_distance, pair_normals_angle, pair_distance_epsilon, cfg)
 
     n = pos.shape[0]
+    if row_offset is not None:
+        off = jnp.mod(jnp.asarray(row_offset, jnp.int32), n)
+        emit = jnp.roll(emit, -off, axis=0)
     flat_idx, valid, count = masked_indices(emit.reshape(-1), capacity)
-    pairs = jnp.stack([flat_idx // n, flat_idx % n], axis=-1)
+    u = flat_idx // n
+    if row_offset is not None:
+        u = jnp.mod(u + off, n)
+    pairs = jnp.stack([u, flat_idx % n], axis=-1)
     dropped = jnp.maximum(count - capacity, 0)
     return pairs.astype(jnp.int32), valid, count, dropped
 

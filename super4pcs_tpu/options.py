@@ -118,6 +118,32 @@ class Options:
     #: Probes beyond the budget drop their cell, counted in
     #: stats["cell_dropped"]. The small-nq dense path never compacts.
     join_probe_budget: Optional[int] = None
+    #: Pair-extraction engine: "auto" picks dense masking (nq <= 2048),
+    #: row-capped approx-top-k capture (2048 < nq < 32768), or the
+    #: banded sorted-cell-pair-table engine (nq >= 32768 — work scales
+    #: with the output, not nq^2; see ops/band_extract.py, the TPU
+    #: re-design of ref:accelerators/pairExtraction/
+    #: intersectionFunctor.h:105-233). Explicit values pin one engine;
+    #: batched scan-graph registration (parallel/batch.py) vmaps one
+    #: program over per-pair Q arrays, so it cannot use "banded"
+    #: (the index is per-cloud) and falls back to rowcap/dense.
+    pair_engine: str = "auto"
+    #: Occupied-cell budget of the banded engine's spatial grid (the
+    #: cell size doubles from 2 * delta until the count fits; the
+    #: sorted table is budget^2 int32 — 256 MB at the default).
+    band_cell_budget: int = 8192
+    #: Table entries the banded engine expands per base edge (``None``
+    #: derives from max_pairs / the 64 * nq default). Band overflow
+    #: rotates which entries survive per trial and is counted in
+    #: stats["pairs_overflow"] in candidate-pair units.
+    band_cell_pair_cap: Optional[int] = None
+    #: Force the grid-hash congruent join even where the dense K x K
+    #: oracle would be chosen (small nq, in-budget mask). The dense
+    #: oracle is exact and faster at toy scale, but it bypasses the
+    #: per-cell candidate cap entirely — this knob exists so tests and
+    #: debugging can exercise the grid path (cell_candidates pressure,
+    #: cell_dropped telemetry) at any problem size.
+    force_grid_join: bool = False
     #: Direction filter of the Super4PCS congruent join: "cone" (exact
     #: dot-product mask, the default) or "healpix" (rasterized
     #: ring-scheme pixel bins — the reference's deprecated
@@ -255,6 +281,10 @@ class Options:
             raise ValueError(
                 f"direction_bins must be 'cone' or 'healpix', got "
                 f"{self.direction_bins!r}")
+        if self.pair_engine not in ("auto", "dense", "rowcap", "banded"):
+            raise ValueError(
+                f"pair_engine must be one of auto/dense/rowcap/banded, "
+                f"got {self.pair_engine!r}")
 
 
 # Constants shared with the reference algorithm core.

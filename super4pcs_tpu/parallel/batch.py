@@ -29,13 +29,18 @@ waste capacity) — prefer uniform cloud sizes for scale-mode batches.
 Coarse-search note: an explicit ``Options.search_delta_factor`` applies
 to every pair of the batch (per-pair rank-best transforms are tracked
 and redeemed through the guarded refine stage — requires
-``refine_iterations`` > 0, the default), but the single-pair matcher's
-*auto escalation* (``search_escalation_factor``) is not implemented
-here — the batch runs one fused program for all pairs, and escalating
-because some pairs exhausted their estimate would recompile and re-step
-the whole batch for the stragglers. Re-run stragglers individually
-(their ``batch_state`` marks them) or set an explicit factor for hard
-batches.
+``refine_iterations`` > 0, the default). The single-pair matcher's
+*auto escalation* (``search_escalation_factor``) maps onto the batch as
+**straggler redemption**: the batch program itself never escalates (one
+fused program for all pairs — recompiling and re-stepping everyone for
+a few hard pairs wastes the fleet), but after the batch loop, pairs
+still below the terminate threshold are re-registered INDIVIDUALLY
+through the single-pair matcher at the escalated search factor,
+worst-first, within whatever wall-clock budget remains. A redeemed
+pair's result replaces its batch result only when its LCP improves.
+Single-process runs only (multi-host processes would race the serial
+redemption loop); disable with ``search_escalation_factor`` <=
+``search_delta_factor``.
 """
 
 from __future__ import annotations
@@ -388,9 +393,58 @@ def register_batch(
                     best["qcentroid2"][i] = 0.0
                     improved[i] = True
 
+    # Straggler redemption (single-pair escalation analog, see module
+    # docstring): re-register the pairs still below the terminate
+    # threshold individually at the escalated search factor, worst
+    # first, while wall budget remains. Each redemption is a fresh
+    # single-pair search whose programs hit the persistent XLA cache
+    # after the first straggler of a given shape.
+    redeemed = {}
+    if (opts.search_escalation_factor > opts.search_delta_factor
+            and opts.refine_iterations > 0 and n_procs == 1):
+        from ..matcher import Match4PCS, MatchSuper4PCS
+        cls = MatchSuper4PCS if algorithm == "super4pcs" else Match4PCS
+        order = sorted(
+            (i for i in range(g)
+             if best["lcp"][i] < opts.terminate_threshold),
+            key=lambda i: best["lcp"][i])
+        for i in order:
+            remaining = opts.max_time_seconds - (time.perf_counter() - t0)
+            if remaining < max(0.1 * opts.max_time_seconds, 15.0):
+                break
+            # full-time-budget: the pair already failed one trial
+            # estimate in the batch — the redemption pass should use
+            # the wall budget, not fail the same estimate again
+            sub = opts.replace(
+                search_delta_factor=opts.search_escalation_factor,
+                max_time_seconds=int(remaining),
+                use_full_time_budget=True,
+                bases_per_step=None)
+            r = cls(sub).compute_transformation(pairs[i][0], pairs[i][1])
+            if r.score > best["lcp"][i] and r.improved:
+                # kept OUTSIDE the resumable batch_state: the redeemed
+                # transform lives in original coordinates (the batch
+                # state tracks centered-frame poses); a resumed run
+                # simply redeems again
+                r.stats["straggler_escalated_to"] = \
+                    opts.search_escalation_factor
+                redeemed[i] = r
+
     batch_state = snapshot_state()
     results = []
     for i in range(g):
+        if i in redeemed:
+            r = redeemed[i]
+            stats = {name: int(counters[name][i]) for name in counters}
+            stats.update(r.stats, compile_seconds=compile_seconds,
+                         q_padded=int(nq_max - nq_real[i]),
+                         batch_state=batch_state)
+            results.append(RegistrationResult(
+                score=r.score, transform=r.transform,
+                transformed_q=r.transformed_q,
+                n_trials=trial + r.n_trials,
+                improved=True, stats=stats))
+            continue
         if improved[i]:
             mat = np.array(best["transform"][i])
             rot = mat[:3, :3]

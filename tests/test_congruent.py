@@ -275,3 +275,44 @@ def test_grid_join_cell_overflow_counted(rng):
         jnp.asarray(pairs), jnp.ones(32, bool),
         0.5, 0.5, 0.1, 0.0, -1.0, capacity=4096, cell_candidates=4)
     assert int(dropped) > 0
+
+
+def test_scale_band_gate_dense_and_grid(rng):
+    """Similarity-mode scale-consistency gate (the reference MULTISCALE
+    ratioDev, ref:match4pcsBase.cc:390-414, applied in the join): with
+    scale_band on, exactly the candidates whose two implied scales agree
+    within the band survive — and grid == dense under the gate."""
+    pos = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+    pairs1 = make_pairs(rng, pos, 200)
+    pairs2 = make_pairs(rng, pos, 200)
+    inv1, inv2 = 0.42, 0.58
+    thr = 0.35
+    seg_ratio, band = 1.3, 0.1    # base d1/d2 and the ratioDev width
+    args = (jnp.asarray(pos),
+            jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
+            jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
+            inv1, inv2, thr, 0.25, -1.0)
+
+    q_off, v_off, _ = congruent.find_congruent_quads(*args, capacity=16384)
+    q_on, v_on, _ = congruent.find_congruent_quads(
+        *args, capacity=16384, seg_ratio=seg_ratio, scale_band=band)
+    set_off = {tuple(x) for x, v in zip(np.asarray(q_off),
+                                        np.asarray(v_off)) if v}
+    set_on = {tuple(x) for x, v in zip(np.asarray(q_on),
+                                       np.asarray(v_on)) if v}
+
+    def ratio_ok(a, b, c, d):
+        l1 = np.linalg.norm(pos[b] - pos[a])
+        l2 = np.linalg.norm(pos[d] - pos[c])
+        return abs(seg_ratio * l2 / max(l1, 1e-30) - 1.0) <= band
+
+    expected = {q for q in set_off if ratio_ok(*q)}
+    assert set_on == expected
+    assert set_on < set_off        # the gate actually removed something
+
+    qg, vg, _, dropped = congruent.find_congruent_quads_grid(
+        *args, capacity=16384, cell_candidates=64,
+        seg_ratio=seg_ratio, scale_band=band)
+    grid = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg)) if v}
+    assert int(dropped) == 0
+    assert grid == set_on

@@ -145,3 +145,38 @@ def test_streamed_kernel_parity_interpreted(rng):
             jnp.asarray(tq), jnp.asarray(p))
     ref = ((tq[:, None, :] - p[None, :, :]) ** 2).sum(-1).min(1)
     np.testing.assert_allclose(np.asarray(d2), ref, rtol=0, atol=1e-7)
+
+
+def test_candidate_kernel_small_q_parity_interpreted(rng):
+    """The in-kernel-transform candidate kernel with an adaptive
+    (sub-Q_TILE) query tile — the memory-safe replacement for the
+    removed flattened (C*Nq, 8) path, whose 8 -> 128 lane padding OOM'd
+    at coarse-verification scale — matches brute force."""
+    import functools
+    from unittest import mock
+    import jax.numpy as jnp
+    from super4pcs_tpu.kernels import lcp_pallas
+
+    p = rng.uniform(-1, 1, (700, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (60, 3)).astype(np.float32)   # < Q_TILE
+    mats = []
+    for _ in range(5):
+        a = rng.normal(size=(3, 3))
+        qm, r = np.linalg.qr(a)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = qm * np.sign(np.diag(r))
+        m[:3, 3] = rng.uniform(-0.3, 0.3, 3)
+        mats.append(m)
+    ts = jnp.asarray(np.stack(mats))
+    with mock.patch.object(lcp_pallas.pl, "pallas_call",
+                           functools.partial(lcp_pallas.pl.pallas_call,
+                                             interpret=True)):
+        d2 = lcp_pallas.candidate_min_sq_dists(ts, jnp.asarray(q),
+                                               jnp.asarray(p))
+        d2s = lcp_pallas.candidate_min_sq_dists_streamed(
+            ts, jnp.asarray(q), jnp.asarray(p))
+    tq = np.einsum('cij,nj->cni', np.stack(mats)[:, :3, :3], q) \
+        + np.stack(mats)[:, None, :3, 3]
+    ref = ((tq[:, :, None, :] - p[None, None, :, :]) ** 2).sum(-1).min(-1)
+    np.testing.assert_allclose(np.asarray(d2), ref, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2s), ref, rtol=0, atol=1e-6)

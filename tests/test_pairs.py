@@ -407,3 +407,41 @@ def test_rowcap_col_offset(rng):
         got = np.array(sorted(s))
         dd = np.linalg.norm(pos[got[:, 0]] - pos[got[:, 1]], axis=1)
         assert (np.abs(dd - pd) <= 0.3).all()  # |d - pair_dist| <= eps
+
+
+def test_dense_row_offset_rotation(rng):
+    """extract_pairs(row_offset=...): with ample capacity any rotation
+    returns the identical pair set; under overflow different offsets
+    capture different (still-correct) subsets — the dense-path capture
+    decorrelation estimate_scale mode relies on (see ops/pairs.py)."""
+    n = 48
+    pos = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    zeros = np.zeros((n, 3), np.float32)
+    rgbs = np.full((n, 3), -1.0, np.float32)
+    base_idx = rng.choice(n, size=4, replace=False)
+    cfg = PairFilterConfig(use_distance_filter=False)  # every (u, v) hits
+
+    def run(capacity, off):
+        p, v, c, d = extract_pairs(
+            jnp.asarray(pos), jnp.asarray(zeros), jnp.asarray(rgbs),
+            jnp.asarray(pos[base_idx]), jnp.asarray(zeros[base_idx]),
+            jnp.asarray(rgbs[base_idx]), 0, 1, 0.3, cfg,
+            capacity=capacity,
+            row_offset=None if off is None else jnp.int32(off))
+        s = {tuple(x) for x, ok in zip(np.asarray(p), np.asarray(v))
+             if ok}
+        return s, int(c), int(d)
+
+    full = n * (n - 1)
+    s_none, c0, d0 = run(full, None)
+    assert c0 == full and d0 == 0
+    for off in (0, 7, n - 1, n + 3):    # offsets wrap mod n
+        s, c, d = run(full, off)
+        assert s == s_none and d == 0
+
+    # overflow: sets differ by offset, every captured pair is genuine
+    subsets = [run(full // 3, off)[0] for off in (0, 11, 29)]
+    assert any(a != b for a in subsets for b in subsets if a is not b)
+    for s in subsets:
+        assert len(s) == full // 3
+        assert s <= s_none

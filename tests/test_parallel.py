@@ -209,3 +209,40 @@ def test_register_batch_resume(rng, make_transform):
     assert resumed[0].n_trials >= full[0].n_trials
     for r_res, f_res in zip(resumed, full):
         assert r_res.score >= f_res.score - 0.05
+
+
+def test_batch_straggler_escalation(rng, make_transform):
+    """One hard pair in a batch (sparse noisy subsample — the single-
+    pair escalation fixture) reaches the terminate threshold through
+    straggler redemption: the batch program itself is never recompiled;
+    the pair is re-registered individually at the escalated factor
+    (VERDICT r2 #8)."""
+    # easy pair: clean transformed copy
+    pos_e, q_e, mat_e = make_pair(rng, make_transform, n=200)
+    # hard pair: 160-of-500 subsample + noise at delta/3
+    pos_h = bumpy_cloud(rng, 500)
+    keep = rng.choice(500, 160, replace=False)
+    mat_h = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat_h)
+    q_h = (pos_h[keep] @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    q_h += rng.normal(scale=0.008, size=q_h.shape).astype(np.float32)
+
+    # seed 5: batch phase deterministically exhausts its estimate at
+    # LCP ~0.05 on the hard pair (seed sweep in the round-3 notes);
+    # redemption recovers it to ~0.99 with exact pose
+    opts = Options(delta=0.025, sample_size=200, max_time_seconds=240,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
+                   random_seed=5, search_escalation_factor=2.0,
+                   ).configure_overlap(0.9, terminate_threshold=0.95)
+    results = register_batch(
+        [(PointCloud(pos=pos_e), PointCloud(pos=q_e)),
+         (PointCloud(pos=pos_h), PointCloud(pos=q_h))], opts)
+
+    assert results[0].score >= 0.95
+    rot_diff, tr_diff = rot_tr_diff(results[0].transform, mat_e)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1
+    # the hard pair must have gone through redemption and ended correct
+    assert results[1].stats.get("straggler_escalated_to") == 2.0
+    rot_diff, tr_diff = rot_tr_diff(results[1].transform, mat_h)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1, (
+        rot_diff, tr_diff, results[1].score)
