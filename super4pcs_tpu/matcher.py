@@ -112,8 +112,20 @@ def resolve_pair_engine(opts: Options, nq: int,
     pass have_band_index=False and get the rowcap fallback."""
     e = opts.pair_engine
     if e == "auto":
+        # thresholds measured on TPU v5 lite (tools/band_scale_bench):
+        # at nq=32768 rowcap is 1.5x faster per step (5.8 s vs 8.7 s);
+        # at nq=65536 rowcap's approx-top-k OOMs HBM (19.5 G > 15.75 G)
+        # while banded runs at 16.8 s/step — banded is the only engine
+        # past 32k, not the fastest at 32k
         e = ("dense" if nq <= 2048
-             else ("rowcap" if nq < 32768 else "banded"))
+             else ("rowcap" if nq <= 32768 else "banded"))
+        if e == "banded" and opts.estimate_scale:
+            # scale mode disables the distance band — the banded
+            # engine's whole premise — so its capture degenerates to
+            # random cell pairs; rotated rowcap capture is strictly
+            # better there. (Reachable only when scale_max_q is raised
+            # past the banded threshold — see Options.scale_max_q.)
+            e = "rowcap"
     if e == "banded" and not have_band_index:
         e = "rowcap" if nq > 2048 else "dense"
     return e
@@ -230,9 +242,13 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         pc = band_index.pc
         cell_pair_cap = opts.band_cell_pair_cap or max(
             8192, 2 * k_pairs // max(pc * pc, 1))
+        # compact to k_pairs: the raw (cell_pair_cap * pc^2) slot
+        # layout is mostly padding and the join's per-base sort pays
+        # per row, valid or not — with compaction the nq=32768 banded
+        # step is 8.7 s (extract 5.3 / join 2.5, BASELINE r3)
         _extract_both = functools.partial(
             extract_pairs_banded_both, band_index,
-            cell_pair_cap=cell_pair_cap)
+            cell_pair_cap=cell_pair_cap, capacity=k_pairs)
     else:
         join_row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
             5 * k_pairs // (2 * nq), 32)))
@@ -600,8 +616,19 @@ class Match4PCSBase:
         if len(Q) <= opts.sample_size:
             self.logger.error(
                 "(Q) More samples requested than available: use whole cloud")
+        q_target = opts.sample_size
+        self._scale_q_capped = 0
+        if opts.estimate_scale and q_target > opts.scale_max_q:
+            # scale mode disables the distance filter; beyond this
+            # ceiling the capped capture of the nq^2 pair space loses
+            # the true (pair1, pair2) joint (see Options.scale_max_q)
+            self._scale_q_capped = q_target - opts.scale_max_q
+            q_target = opts.scale_max_q
+            self.logger.error(
+                "estimate_scale: Q sample capped to ", q_target,
+                " (scale_max_q; see Options)")
         sampled_q = sampling.sample_for_matching(
-            Q, opts.delta, opts.sample_size, truncate=True, rng=rng)
+            Q, opts.delta, q_target, truncate=True, rng=rng)
         self._sampled_p_world = sampled_p
         self._sampled_q_world = sampled_q
 
@@ -672,6 +699,8 @@ class Match4PCSBase:
             "cands_overflow": 0, "n_congruent": 0, "cell_dropped": 0,
             **self._stats_band,
         }
+        if self._scale_q_capped:
+            self._stats["scale_q_capped"] = self._scale_q_capped
 
         # best-so-far state (ref:match4pcsBase.h:131-161)
         self._best_rank = -np.inf       # coarse-search rank metric
@@ -924,11 +953,19 @@ class Match4PCSBase:
                                     band_index=self._band_index)
 
         def best_of(fn):
-            jax.block_until_ready(fn(*args))       # compile + warm
+            # fresh keys per repetition + a scalar fetch: the tunneled
+            # backend can serve an identical remote execution from a
+            # cache (measured: a 5.8 s step "repeating" in 0.2 ms), and
+            # only a result pull is guaranteed to span completion
+            def run(i):
+                a = (self._step_keys(1 << 20 | i),) + args[1:]
+                return float(jnp.sum(jax.tree.leaves(fn(*a))[0]))
+
+            run(0)                                 # compile + warm
             best = math.inf
-            for _ in range(repeats):
+            for r in range(1, repeats + 1):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(*args))
+                run(r)
                 best = min(best, time.perf_counter() - t0)
             return best
 

@@ -177,55 +177,6 @@ def _searchsorted_table(idx: BandIndex, value):
     return lo
 
 
-def band_pair_mask(pu, pv, nu, nv, cu, cv,
-                   base_p0_pos, base_p1_pos, base_p0_norm, base_p1_norm,
-                   base_p0_rgb, base_p1_rgb,
-                   pair_distance, pair_normals_angle,
-                   pair_distance_epsilon, cfg: PairFilterConfig):
-    """Elementwise ordered-pair predicate on candidate slots — the same
-    semantics as ops/pairs.ordered_pair_mask (each filter in ordered
-    form, see its docstring) evaluated pointwise on gathered candidate
-    attributes instead of a dense row block. Parity is pinned by
-    tests/test_band_extract.py against the extract_pairs oracle."""
-    dist = jnp.linalg.norm(pv - pu, axis=-1)
-    mask = jnp.ones(dist.shape, bool)
-    if cfg.use_distance_filter:
-        mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
-
-    if cfg.max_normal_difference > 0:
-        both = (jnp.sum(nu * nu, -1) > 0) & (jnp.sum(nv * nv, -1) > 0)
-        first_ang = jnp.linalg.norm(nu - nv, axis=-1)
-        second_ang = jnp.linalg.norm(nu + nv, axis=-1)
-        nd = jnp.minimum(jnp.abs(first_ang - pair_normals_angle),
-                         jnp.abs(second_ang - pair_normals_angle))
-        thr = 0.5 * cfg.max_normal_difference * math.pi / 180.0
-        mask &= jnp.where(both, nd <= thr, True)
-
-    if cfg.max_color_distance > 0:
-        base_has = (base_p0_rgb[0] >= 0) & (base_p1_rgb[0] >= 0)
-        use_rgb = (cu[..., 0] >= 0) & (cv[..., 0] >= 0) & base_has
-        good = ((jnp.linalg.norm(cu - base_p0_rgb, axis=-1)
-                 < cfg.max_color_distance)
-                & (jnp.linalg.norm(cv - base_p1_rgb, axis=-1)
-                   < cfg.max_color_distance))
-        mask &= jnp.where(use_rgb, good, True)
-
-    if cfg.max_translation_distance > 0:
-        mask &= ((jnp.linalg.norm(pu - base_p0_pos, axis=-1)
-                  < cfg.max_translation_distance)
-                 & (jnp.linalg.norm(pv - base_p1_pos, axis=-1)
-                    < cfg.max_translation_distance))
-
-    if cfg.max_angle > 0:
-        seg1 = base_p1_pos - base_p0_pos
-        seg1 = seg1 / jnp.linalg.norm(seg1)
-        seg2 = (pv - pu) / jnp.maximum(dist, 1e-30)[..., None]
-        cosang = jnp.clip(jnp.sum(seg2 * seg1, axis=-1), -1.0, 1.0)
-        mask &= jnp.arccos(cosang) <= cfg.max_angle * math.pi / 180.0
-
-    return mask
-
-
 def extract_pairs_banded(
     idx: BandIndex,
     pos, normal, rgb,
@@ -235,17 +186,26 @@ def extract_pairs_banded(
     cfg: PairFilterConfig,
     cell_pair_cap: int,
     rot_offset=None,
+    capacity: int | None = None,
 ):
     """Extract ordered pairs matching one base edge through the band
-    index. Output layout mirrors extract_pairs_rowcap_layout: raw
-    candidate slots ``(cell_pair_cap * pc^2, 2)`` pairs + valid mask
-    (the congruent join consumes any (pairs, valid) layout), plus
+    index. Default output layout mirrors extract_pairs_rowcap_layout:
+    raw candidate slots ``(cell_pair_cap * pc^2, 2)`` pairs + valid
+    mask (the congruent join consumes any (pairs, valid) layout), plus
     ``(count, dropped)`` where count is the number of validated hits
     and dropped the candidate-pair-unit loss (band entries beyond the
     cap x their occupancy products, plus the run-constant member-cap
     loss is reported by the index build). ``rot_offset`` (traced)
     rotates WHICH band entries are kept under overflow, decorrelating
     the capture lottery across trials.
+
+    ``capacity``: when set, the validated hits are compacted to a
+    ``(capacity, 2)`` buffer (extract_pairs' contract) — the raw slot
+    layout is mostly padding (pc^2 slots per cell pair vs a mean
+    occupancy product of a few), and the congruent join's per-base
+    sort pays per ROW, valid or not; compaction trades one cheap
+    prefix-sum for a several-x smaller join table. Hits beyond
+    capacity are added to ``dropped``.
     """
     b0p, b1p = base_pos[edge0], base_pos[edge1]
     pair_distance = jnp.linalg.norm(b0p - b1p)
@@ -254,10 +214,18 @@ def extract_pairs_banded(
 
     # conservative cell-level band: any point pair at distance within
     # d +- eps lives in a cell pair whose center distance is within
-    # d +- (eps + sqrt(3) g)
-    slack = pair_distance_epsilon + _SQRT3 * idx.g
-    lo = _searchsorted_table(idx, pair_distance - slack)
-    hi = _searchsorted_table(idx, pair_distance + slack)
+    # d +- (eps + sqrt(3) g). With the distance filter OFF
+    # (estimate_scale mode) every cell pair qualifies — the band is the
+    # whole table (the engine degenerates to rotated random capture;
+    # the matcher prefers the rowcap engine there, see
+    # matcher.resolve_pair_engine).
+    if cfg.use_distance_filter:
+        slack = pair_distance_epsilon + _SQRT3 * idx.g
+        lo = _searchsorted_table(idx, pair_distance - slack)
+        hi = _searchsorted_table(idx, pair_distance + slack)
+    else:
+        lo = jnp.int32(0)
+        hi = jnp.int32(idx.m * idx.m)
     span = hi - lo
 
     cp = cell_pair_cap
@@ -277,49 +245,92 @@ def extract_pairs_banded(
     cb = jnp.where(live, pid % idx.m, 0)
 
     pc = idx.pc
-    mu = idx.members[ca]                             # (CP, pc)
-    mv = idx.members[cb]
-    occ_u = jnp.minimum(idx.occ[ca], pc)
+    # All expansion tensors are laid out (pc_u, pc_v, CP) / (pc, CP) —
+    # the LARGE axis minor. Any (..., small) layout pads its minor dim
+    # to the 128-lane width (a 4-42x HBM tax; the r3 phase probe
+    # measured the (CP, pc, 3) form at 5.2 s/step extraction vs 1.7 s
+    # for rowcap). Per-coordinate columns for the same reason (see
+    # ops/congruent.py's identical design note).
+    mu = jnp.minimum(idx.members[ca], idx.n - 1).T   # (pc, CP)
+    mv = jnp.minimum(idx.members[cb], idx.n - 1).T
+    occ_u = jnp.minimum(idx.occ[ca], pc)             # (CP,)
     occ_v = jnp.minimum(idx.occ[cb], pc)
     slot = jnp.arange(pc, dtype=jnp.int32)
-    mval_u = slot[None, :] < occ_u[:, None]          # (CP, pc)
-    mval_v = slot[None, :] < occ_v[:, None]
+    mval_u = slot[:, None] < occ_u[None, :]          # (pc, CP)
+    mval_v = slot[:, None] < occ_v[None, :]
 
-    u_ids = jnp.minimum(mu, idx.n - 1)
-    v_ids = jnp.minimum(mv, idx.n - 1)
-    pu = pos[u_ids]                                  # (CP, pc, 3)
-    pv = pos[v_ids]
+    uu = mu[:, None, :]                              # (pcU, 1, CP)
+    vv = mv[None, :, :]                              # (1, pcV, CP)
+    mask = (live[None, None, :] & mval_u[:, None, :]
+            & mval_v[None, :, :] & (uu != vv))
 
-    # expanded (CP, pc_u, pc_v) candidate slots
-    uu = u_ids[:, :, None]
-    vv = v_ids[:, None, :]
-    cand_ok = (live[:, None, None] & mval_u[:, :, None]
-               & mval_v[:, None, :] & (uu != vv))
+    xu = [pos[:, c][mu] for c in range(3)]           # (pc, CP) x3
+    xv = [pos[:, c][mv] for c in range(3)]
+    d2 = sum((xv[c][None, :, :] - xu[c][:, None, :]) ** 2
+             for c in range(3))                      # (pcU, pcV, CP)
+    dist = jnp.sqrt(d2)
+    if cfg.use_distance_filter:
+        mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
 
-    kw = {}
     if cfg.max_normal_difference > 0:
-        kw["nu"] = normal[u_ids][:, :, None, :]
-        kw["nv"] = normal[v_ids][:, None, :, :]
-    else:
-        kw["nu"] = kw["nv"] = jnp.zeros((1, 1, 1, 3), pos.dtype)
+        nu = [normal[:, c][mu] for c in range(3)]
+        nv = [normal[:, c][mv] for c in range(3)]
+        nsq_u = sum(nu[c] ** 2 for c in range(3))
+        nsq_v = sum(nv[c] ** 2 for c in range(3))
+        both = (nsq_u[:, None, :] > 0) & (nsq_v[None, :, :] > 0)
+        fa = jnp.sqrt(sum(
+            (nu[c][:, None, :] - nv[c][None, :, :]) ** 2
+            for c in range(3)))
+        sa = jnp.sqrt(sum(
+            (nu[c][:, None, :] + nv[c][None, :, :]) ** 2
+            for c in range(3)))
+        nd = jnp.minimum(jnp.abs(fa - pair_normals_angle),
+                         jnp.abs(sa - pair_normals_angle))
+        thr = 0.5 * cfg.max_normal_difference * math.pi / 180.0
+        mask &= jnp.where(both, nd <= thr, True)
+
     if cfg.max_color_distance > 0:
-        kw["cu"] = rgb[u_ids][:, :, None, :]
-        kw["cv"] = rgb[v_ids][:, None, :, :]
-    else:
-        kw["cu"] = kw["cv"] = jnp.full((1, 1, 1, 3), -1.0, pos.dtype)
+        cu = [rgb[:, c][mu] for c in range(3)]
+        cv = [rgb[:, c][mv] for c in range(3)]
+        base_has = (base_rgb[edge0][0] >= 0) & (base_rgb[edge1][0] >= 0)
+        use_rgb = ((cu[0][:, None, :] >= 0) & (cv[0][None, :, :] >= 0)
+                   & base_has)
+        du = jnp.sqrt(sum((cu[c] - base_rgb[edge0][c]) ** 2
+                          for c in range(3)))        # (pc, CP)
+        dv = jnp.sqrt(sum((cv[c] - base_rgb[edge1][c]) ** 2
+                          for c in range(3)))
+        good = ((du[:, None, :] < cfg.max_color_distance)
+                & (dv[None, :, :] < cfg.max_color_distance))
+        mask &= jnp.where(use_rgb, good, True)
 
-    mask = cand_ok & band_pair_mask(
-        pu[:, :, None, :], pv[:, None, :, :], kw["nu"], kw["nv"],
-        kw["cu"], kw["cv"],
-        b0p, b1p, base_norm[edge0], base_norm[edge1],
-        base_rgb[edge0], base_rgb[edge1],
-        pair_distance, pair_normals_angle, pair_distance_epsilon, cfg)
+    if cfg.max_translation_distance > 0:
+        tu = jnp.sqrt(sum((xu[c] - b0p[c]) ** 2 for c in range(3)))
+        tv = jnp.sqrt(sum((xv[c] - b1p[c]) ** 2 for c in range(3)))
+        mask &= ((tu[:, None, :] < cfg.max_translation_distance)
+                 & (tv[None, :, :] < cfg.max_translation_distance))
 
-    pairs = jnp.stack([jnp.broadcast_to(uu, mask.shape).reshape(-1),
-                       jnp.broadcast_to(vv, mask.shape).reshape(-1)],
-                      axis=-1).astype(jnp.int32)
-    valid = mask.reshape(-1)
+    if cfg.max_angle > 0:
+        seg1 = (b1p - b0p) / jnp.linalg.norm(b1p - b0p)
+        cosang = sum((xv[c][None, :, :] - xu[c][:, None, :]) * seg1[c]
+                     for c in range(3)) / jnp.maximum(dist, 1e-30)
+        cosang = jnp.clip(cosang, -1.0, 1.0)
+        mask &= jnp.arccos(cosang) <= cfg.max_angle * math.pi / 180.0
+
     count = jnp.sum(mask, dtype=jnp.int32)
+    if capacity is not None:
+        sel, valid, _ = masked_indices(mask.reshape(-1), capacity)
+        su = jnp.broadcast_to(uu, mask.shape).reshape(-1)[sel]
+        sv = jnp.broadcast_to(vv, mask.shape).reshape(-1)[sel]
+        pairs = jnp.stack([jnp.where(valid, su, 0),
+                           jnp.where(valid, sv, 0)],
+                          axis=-1).astype(jnp.int32)
+        cap_dropped = jnp.maximum(count - capacity, 0)
+    else:
+        pairs = jnp.stack([jnp.broadcast_to(uu, mask.shape).reshape(-1),
+                           jnp.broadcast_to(vv, mask.shape).reshape(-1)],
+                          axis=-1).astype(jnp.int32)
+        valid = mask.reshape(-1)
+        cap_dropped = jnp.int32(0)
 
     # overflow: band entries beyond the cap, in candidate-pair units
     # (their occupancy products — the exact number of candidate slots
@@ -330,7 +341,7 @@ def extract_pairs_banded(
     # approximate each dropped entry by the mean kept occupancy product
     mean_prod = jnp.sum(jnp.where(live, occ_u * occ_v, 0)) \
         / jnp.maximum(jnp.sum(live), 1)
-    dropped = (over * mean_prod).astype(jnp.int32)
+    dropped = (over * mean_prod).astype(jnp.int32) + cap_dropped
     return pairs, valid, count, dropped
 
 
@@ -342,6 +353,7 @@ def extract_pairs_banded_both(
     cfg: PairFilterConfig,
     cell_pair_cap: int,
     col_offset=None,
+    capacity: int | None = None,
 ):
     """Both base edges through the band index (the _extract_both
     contract of matcher._build_try_base)."""
@@ -350,5 +362,5 @@ def extract_pairs_banded_both(
         out.append(extract_pairs_banded(
             idx, pos, normal, rgb, base_pos, base_norm, base_rgb,
             e0, e1, pair_distance_epsilon, cfg, cell_pair_cap,
-            rot_offset=col_offset))
+            rot_offset=col_offset, capacity=capacity))
     return tuple(out)

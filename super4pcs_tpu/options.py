@@ -118,9 +118,20 @@ class Options:
     #: Probes beyond the budget drop their cell, counted in
     #: stats["cell_dropped"]. The small-nq dense path never compacts.
     join_probe_budget: Optional[int] = None
+    #: Scale-mode (estimate_scale) Q-sample ceiling. With the distance
+    #: filter off, EVERY ordered (i, j) is a pair: the pair space is
+    #: nq^2 and any capped capture covers (capacity / nq^2)^2 of the
+    #: (pair1, pair2) joint per trial — at nq = 2500 that is ~0.07%
+    #: and registration reliably fails (measured; see
+    #: tests/test_matcher.py::test_scale_mode_q_ceiling). The matcher
+    #: therefore truncates the Q sample to this many points in scale
+    #: mode (logged; counted in stats["scale_q_capped"]). Raise it only
+    #: with max_pairs sized ~nq^2 and a matching time budget.
+    scale_max_q: int = 2048
     #: Pair-extraction engine: "auto" picks dense masking (nq <= 2048),
-    #: row-capped approx-top-k capture (2048 < nq < 32768), or the
-    #: banded sorted-cell-pair-table engine (nq >= 32768 — work scales
+    #: row-capped approx-top-k capture (2048 < nq <= 32768), or the
+    #: banded sorted-cell-pair-table engine (nq > 32768 — rowcap OOMs
+    #: HBM there, measured at nq=65536 on v5 lite; banded work scales
     #: with the output, not nq^2; see ops/band_extract.py, the TPU
     #: re-design of ref:accelerators/pairExtraction/
     #: intersectionFunctor.h:105-233). Explicit values pin one engine;

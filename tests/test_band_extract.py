@@ -144,3 +144,39 @@ def test_banded_engine_end_to_end(rng):
     moved = q @ res.transform[:3, :3].T + res.transform[:3, 3]
     d2 = ((moved[:, None, :] - pos[None, :, :]) ** 2).sum(-1).min(1)
     assert (np.sqrt(d2) < 0.05).mean() > 0.8
+
+
+def test_banded_capacity_compaction(rng):
+    """capacity= compacts the validated hits to an extract_pairs-style
+    buffer: same pair SET as the raw slot layout when it fits, and
+    exact cap accounting when it does not."""
+    pos = _cloud(rng, 300)
+    zeros = np.zeros_like(pos)
+    rgbs = np.full_like(pos, -1.0)
+    base = pos[rng.choice(300, 4, replace=False)]
+    cfg = PairFilterConfig()
+    idx = build_band_index(pos, delta=0.05)
+
+    raw, rc, rd = _banded_set(idx, pos, zeros, rgbs, base, zeros[:4],
+                              rgbs[:4], 0, 1, 0.1, cfg,
+                              cap=idx.m * idx.m)
+    assert rd == 0
+
+    def compacted(capacity):
+        p, v, c, d = extract_pairs_banded(
+            idx, jnp.asarray(pos), jnp.asarray(zeros), jnp.asarray(rgbs),
+            jnp.asarray(base), jnp.asarray(zeros[:4]),
+            jnp.asarray(rgbs[:4]), 0, 1, 0.1, cfg,
+            cell_pair_cap=idx.m * idx.m, capacity=capacity)
+        s = {tuple(x) for x, ok in zip(np.asarray(p), np.asarray(v))
+             if ok}
+        return s, int(c), int(d)
+
+    s_full, c_full, d_full = compacted(len(raw) + 64)
+    assert s_full == raw and c_full == rc and d_full == 0
+
+    cap = max(len(raw) // 2, 1)
+    s_cap, c_cap, d_cap = compacted(cap)
+    assert len(s_cap) == cap and s_cap <= raw
+    assert c_cap == rc                      # count stays pre-cap exact
+    assert d_cap == rc - cap                # overflow counted exactly

@@ -37,8 +37,9 @@ from super4pcs_tpu.cloud import PointCloud
 from super4pcs_tpu.parallel import make_mesh
 from super4pcs_tpu.parallel.sharded import sharded_step
 
-NQ = 2048          # mid-scale: per-step work large enough to matter
-REPS = 5
+NQ = 1024          # mid-scale: per-step work large enough to matter
+                   # (2048 made the CPU-mesh table take hours)
+REPS = 3
 
 rng = np.random.default_rng(0)
 v = rng.normal(size=(20000, 3))
@@ -65,13 +66,20 @@ diam = jnp.float32(geometry.estimate_diameter(
     np.asarray(qp), 1000, np.random.default_rng(2)))
 
 
-def time_step(fn, keys):
-    args = (keys, diam, pp, zeros_p, negs_p, qp, zeros_q, negs_q)
-    jax.block_until_ready(fn(*args))          # compile + warm
+def time_step(fn, keys_of):
+    """``keys_of(i)`` -> per-rep key batch. Fresh keys per rep + a
+    scalar fetch per rep: identical remote executions can be cached on
+    the tunneled backend and block_until_ready measures enqueue, not
+    completion, without a result pull."""
+    def run(i):
+        args = (keys_of(i), diam, pp, zeros_p, negs_p, qp, zeros_q,
+                negs_q)
+        return float(jnp.sum(jax.tree.leaves(fn(*args))[0]))
+    run(0)                                    # compile + warm
     best = float("inf")
-    for _ in range(REPS):
+    for i in range(1, REPS + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        run(i)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -88,23 +96,26 @@ if backend == "cpu":
             step, _ = build_step(opts, nq, 0.3)
             mesh = make_mesh(devs[:mesh_n])
             fn = sharded_step(step, mesh)
-            keys = jax.device_put(
-                jax.random.split(jax.random.key(0), b),
-                jax.sharding.NamedSharding(
-                    mesh, jax.sharding.PartitionSpec("bases")))
-            dt = time_step(fn, keys)
+            sh = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("bases"))
+            keys_of = lambda i, b=b, sh=sh: jax.device_put(
+                jax.random.split(jax.random.key(i), b), sh)
+            dt = time_step(fn, keys_of)
             out["rows"].append({"mesh": mesh_n, "bases": b,
                                 "step_s": round(dt, 4),
                                 "trials_per_s": round(b / dt, 1)})
     # collective overhead: plain jit vs 1-device shard_map at B=16
     opts = opts0.replace(bases_per_step=16)
     step, _ = build_step(opts, nq, 0.3)
-    keys = jax.random.split(jax.random.key(0), 16)
-    t_jit = time_step(jax.jit(step), keys)
+    t_jit = time_step(jax.jit(step),
+                      lambda i: jax.random.split(jax.random.key(i), 16))
     mesh = make_mesh(devs[:1])
-    keys1 = jax.device_put(keys, jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec("bases")))
-    t_sm = time_step(sharded_step(step, mesh), keys1)
+    sh1 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("bases"))
+    t_sm = time_step(
+        sharded_step(step, mesh),
+        lambda i: jax.device_put(
+            jax.random.split(jax.random.key(i), 16), sh1))
     out["collective_overhead_s"] = round(t_sm - t_jit, 4)
     out["jit_step_s"] = round(t_jit, 4)
 else:
@@ -112,8 +123,9 @@ else:
     for b in (8, 16, 32, 64, 128):
         opts = opts0.replace(bases_per_step=b)
         step, _ = build_step(opts, nq, 0.3)
-        keys = jax.random.split(jax.random.key(0), b)
-        dt = time_step(jax.jit(step), keys)
+        dt = time_step(
+            jax.jit(step),
+            lambda i, b=b: jax.random.split(jax.random.key(i), b))
         out["rows"].append({"bases": b, "step_s": round(dt, 4),
                             "trials_per_s": round(b / dt, 1)})
 
