@@ -101,6 +101,42 @@ def main():
             "hippo_cpu_baseline_s": "0.01-0.67 (CPU wins at toy scale)",
         }
 
+    # --- secondary: 1M-point ultra scale (BASELINE.json config #5
+    # upper end; VERDICT r2 #5). One seed — the metric is "the 1M
+    # config registers on one chip and how fast", not a lottery study
+    # (tools/ultra_scale.py is the standalone form).
+    ultra = {}
+    try:
+        rng = np.random.default_rng(0)
+        n = 1_000_000
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        bump = (1 + 0.3 * np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
+                + 0.2 * np.sin(4 * v[:, 2]))
+        upos = (v * bump[:, None]).astype(np.float32)
+        th = 0.8
+        rot = np.array([[np.cos(th), -np.sin(th), 0],
+                        [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+                       np.float32)
+        uq = (upos @ rot.T
+              + np.float32([0.1, -0.05, 0.2])).astype(np.float32)
+        uq += rng.normal(scale=0.001, size=uq.shape).astype(np.float32)
+        uopts = (Options(delta=0.005, sample_size=16384,
+                         max_time_seconds=300, random_seed=5)
+                 .configure_overlap(TARGET_LCP,
+                                    terminate_threshold=TARGET_LCP))
+        ures = MatchSuper4PCS(uopts).compute_transformation(
+            PointCloud(pos=upos), PointCloud(pos=uq))
+        ultra = {
+            "ultra1m_lcp": round(ures.score, 4),
+            "ultra1m_search_s": round(
+                ures.stats.get("search_seconds", float("nan")), 2),
+            "ultra1m_trials": ures.n_trials,
+            "ultra1m_nq": 16384,
+        }
+    except Exception as e:  # never let the secondary kill the headline
+        ultra = {"ultra1m_error": f"{type(e).__name__}: {e}"[:200]}
+
     out = {
         "metric": "fine100k_time_to_lcp0.7_s_median5seed",
         "value": round(float(search_s), 3),
@@ -116,6 +152,7 @@ def main():
         "compile_s": round(res.stats.get("compile_seconds", 0.0), 1),
         "baseline": "cpu_super4pcs_serial DNF@560s lcp=0.594 (measured)",
         **hippo,
+        **ultra,
     }
     print(json.dumps(out))
     return 0
