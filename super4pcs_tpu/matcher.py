@@ -240,15 +240,26 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     elif engine == "banded":
         join_row_cap = None
         pc = band_index.pc
-        cell_pair_cap = opts.band_cell_pair_cap or max(
-            8192, 2 * k_pairs // max(pc * pc, 1))
-        # compact to k_pairs: the raw (cell_pair_cap * pc^2) slot
-        # layout is mostly padding and the join's per-base sort pays
-        # per row, valid or not — with compaction the nq=32768 banded
-        # step is 8.7 s (extract 5.3 / join 2.5, BASELINE r3)
+        # two-level capture sizing: per-entry slot budget ~2x the mean
+        # occupancy product (known at index build) bounds padding waste
+        # at ~2x while keeping per-entry loss small, and the window
+        # size = expansion budget / that target spreads the budget over
+        # as much of the band as it can actually expand — an oversized
+        # window starves every entry, an undersized one reintroduces
+        # the thin-slice capture bias that collapsed quality at
+        # nq=32768 (LCP 0.028 vs rowcap's 0.849; see
+        # ops/band_extract.py module docstring).
+        expand_cap = opts.band_expand_cap or _round_up(4 * k_pairs, 128)
+        mean_occ = max(
+            1.0, min(band_index.n / max(band_index.m, 1), float(pc)))
+        es_target = max(4, int(2.0 * mean_occ * mean_occ))
+        cell_pair_cap = opts.band_cell_pair_cap or _round_up(
+            min(max(expand_cap // es_target, 8192), 262144), 128)
+        expand_cap = min(expand_cap, cell_pair_cap * pc * pc)
         _extract_both = functools.partial(
             extract_pairs_banded_both, band_index,
-            cell_pair_cap=cell_pair_cap, capacity=k_pairs)
+            cell_pair_cap=cell_pair_cap, capacity=k_pairs,
+            expand_cap=expand_cap)
     else:
         join_row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
             5 * k_pairs // (2 * nq), 32)))
@@ -758,7 +769,9 @@ class Match4PCSBase:
         self._step_raw = step
         if self._mesh is not None:
             from .parallel import sharded_step
-            self._step_fn = sharded_step(step, self._mesh)
+            self._step_fn = sharded_step(
+                step, self._mesh,
+                gather_telemetry=opts.sharded_gather_telemetry)
         else:
             self._step_fn = jax.jit(step)
         self._k_pairs, self._k_quads, self._n_cands = caps

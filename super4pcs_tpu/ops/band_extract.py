@@ -15,18 +15,40 @@ cells near some sphere shell. Here the same pruning is one range query:
   CONTIGUOUS RANGE of the sorted table, found by binary search (the
   per-step cost is output-sensitive: two log2(M^2) probes plus work
   proportional to the cell pairs actually in the band);
-- each in-band cell pair expands to its members' point pairs (cell
-  member lists are padded to ``pc`` slots), which are validated with
-  the EXACT pair predicate (distance band + normal/color/translation/
-  angle filters — identical semantics to ops/pairs.py, pinned by a
+- each in-band cell pair expands to its members' point pairs via a
+  TWO-LEVEL compact expansion (see below), validated with the EXACT
+  pair predicate (distance band + normal/color/translation/angle
+  filters — identical semantics to ops/pairs.py, pinned by a
   set-equality parity test vs extract_pairs).
 
-Static-shape discipline: the expansion takes ``cell_pair_cap`` table
-entries per edge (a traced random rotation decorrelates which ones when
-the band overflows), each contributing ``pc^2`` candidate slots; every
-drop (band overflow, member-cap overflow) is counted in candidate-pair
-units like the grid join's cell_dropped telemetry. All caps generous by
-default — at reference operating points the band fits entirely.
+Two-level capture (the r3 redesign). The naive expansion — ``pc^2``
+member slots per captured cell pair — wasted ~95% of its slots on
+padding at mean occupancy << pc, and its contiguous band window meant
+that under band overflow each trial examined only a razor-thin
+center-distance slice (measured LCP 0.028 vs rowcap's 0.849 at
+nq=32768: true counterpart pairs were simply never captured). Now:
+
+1. the window takes ``cell_pair_cap`` band entries spread UNIFORMLY
+   over the whole band (a strided walk, order-scrambled by a coprime
+   multiplier, rotated per trial by ``rot_offset``), and
+2. the expansion gives every window entry a FIXED budget of
+   ``expand_cap // cell_pair_cap`` candidate slots, enumerated inside
+   the entry by div/mod over its occupancy (rotated per trial, exact
+   per-entry overflow counting). Sizing the budget at ~2x the mean
+   occupancy product keeps padding bounded (~2x, vs pc^2/mean_prod
+   ~20x for the naive grid) while using ONLY static index arithmetic —
+   an exact prefix-sum enumeration (scatter + cummax/cumsum segment
+   map over the flat candidate axis) had zero padding but its
+   E-length scans measured 18.3 s/step vs 5.3 for this form at
+   nq=32768 on v5 lite: large cumulative ops are multi-pass over HBM
+   on TPU and swamp the padding they save.
+
+Static-shape discipline: every drop (band entries beyond the window,
+candidates beyond expand_cap, validated hits beyond capacity,
+member-cap overflow) is counted in candidate-pair units like the grid
+join's cell_dropped telemetry. All caps generous by default — at
+reference operating points the band fits entirely and the expansion
+covers it exactly (the parity tests pin set equality with dense).
 
 Why this beats the dense/rowcap engines at scale: their mask evaluation
 is Theta(nq^2) per base edge regardless of output size (fine to
@@ -39,6 +61,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -177,6 +200,46 @@ def _searchsorted_table(idx: BandIndex, value):
     return lo
 
 
+def _pick(tab, slot, mode):
+    """Route candidate slots to per-window member data: ``tab`` is a
+    (pc, CP) column table gathered ONCE per window entry; ``slot`` is
+    the (es, CP) member-slot index of each candidate. The whole point
+    of this indirection is gather economy: the v5 measurement (direct
+    HBM gathers at the candidate level, 8 per slot) ran the nq=32768
+    extraction at 24.9 s/step vs 5.3 s for the broadcast form — random
+    HBM gathers are the single most expensive primitive on TPU, so we
+    gather at the (pc, CP) member level (~pc/es_fill times fewer) and
+    expand with VPU-friendly selects that XLA fuses.
+
+    Modes (SUPER4PCS_TPU_BAND_PICK, measured on v5 lite — see
+    BASELINE.md r3 banded table): "where" = a pc-deep fused select
+    chain; "take" = take_along_axis over the pc axis (XLA decides the
+    lowering); "flat" = the direct HBM gather (kept as the baseline)."""
+    if mode == "flat":  # caller passed the full (n,) column as tab
+        return tab[slot]
+    if mode == "take":
+        return jnp.take_along_axis(tab, slot, axis=0)
+    out = jnp.broadcast_to(tab[0][None, :], slot.shape)
+    for k in range(1, tab.shape[0]):
+        out = jnp.where(slot == k, tab[k][None, :], out)
+    return out
+
+
+def _pick_mode() -> str:
+    return os.environ.get("SUPER4PCS_TPU_BAND_PICK", "where")
+
+
+def _scramble_multiplier(cp: int) -> int:
+    """Odd multiplier ~512, coprime with ``cp``: ``(s * a) % cp`` is a
+    bijection of the window slots whose prefixes are spread uniformly
+    (stride-a progressions), and ``s * a`` stays < 2^31 for any
+    realistic window (cp <= 2^21). Host-side, static per trace."""
+    a = 521 if cp > 1024 else max((cp // 2) | 1, 1)
+    while math.gcd(a, cp) != 1:
+        a += 2
+    return a
+
+
 def extract_pairs_banded(
     idx: BandIndex,
     pos, normal, rgb,
@@ -187,25 +250,26 @@ def extract_pairs_banded(
     cell_pair_cap: int,
     rot_offset=None,
     capacity: int | None = None,
+    expand_cap: int | None = None,
 ):
     """Extract ordered pairs matching one base edge through the band
-    index. Default output layout mirrors extract_pairs_rowcap_layout:
-    raw candidate slots ``(cell_pair_cap * pc^2, 2)`` pairs + valid
-    mask (the congruent join consumes any (pairs, valid) layout), plus
-    ``(count, dropped)`` where count is the number of validated hits
-    and dropped the candidate-pair-unit loss (band entries beyond the
-    cap x their occupancy products, plus the run-constant member-cap
-    loss is reported by the index build). ``rot_offset`` (traced)
-    rotates WHICH band entries are kept under overflow, decorrelating
-    the capture lottery across trials.
+    index (two-level compact capture — see the module docstring).
 
-    ``capacity``: when set, the validated hits are compacted to a
-    ``(capacity, 2)`` buffer (extract_pairs' contract) — the raw slot
-    layout is mostly padding (pc^2 slots per cell pair vs a mean
-    occupancy product of a few), and the congruent join's per-base
-    sort pays per ROW, valid or not; compaction trades one cheap
-    prefix-sum for a several-x smaller join table. Hits beyond
-    capacity are added to ``dropped``.
+    Window: ``cell_pair_cap`` band entries, spread uniformly over the
+    whole band when it overflows (strided walk, rotated per trial by
+    ``rot_offset``), order-scrambled so expansion prefix-cuts sample
+    the band uniformly. Expansion: ``expand_cap`` flat candidate slots
+    (default: every member pair of the window, i.e. exact) assigned to
+    real (u, v) member pairs by prefix-sum + searchsorted — no padding
+    slots. Returns ``(pairs, valid, count, dropped)``; with
+    ``capacity`` the validated hits are compacted to a
+    ``(capacity, 2)`` buffer (extract_pairs' contract), without it the
+    raw ``(expand_cap, 2)`` slots + mask are returned. ``count`` is
+    the number of validated hits among examined candidates; ``dropped``
+    counts, in candidate-pair units: band entries beyond the window
+    (x their mean occupancy product), real candidates beyond
+    expand_cap, and validated hits beyond capacity. The run-constant
+    member-cap loss is reported by the index build.
     """
     b0p, b1p = base_pos[edge0], base_pos[edge1]
     pair_distance = jnp.linalg.norm(b0p - b1p)
@@ -227,6 +291,7 @@ def extract_pairs_banded(
         lo = jnp.int32(0)
         hi = jnp.int32(idx.m * idx.m)
     span = hi - lo
+    span_m = jnp.maximum(span, 1)
 
     cp = cell_pair_cap
     s = jnp.arange(cp, dtype=jnp.int32)
@@ -234,114 +299,144 @@ def extract_pairs_banded(
         off = jnp.int32(0)
     else:
         off = jnp.asarray(rot_offset, jnp.int32)
-    take = jnp.where(span <= cp, lo + s,
-                     lo + (off % jnp.maximum(span, 1) + s)
-                     % jnp.maximum(span, 1))
+    # scrambled slot -> band position: p is a bijection of [0, cp);
+    # live slots are scattered (their prod is 0 below, so dead slots
+    # consume no expansion budget)
+    p = (s * _scramble_multiplier(cp)) % cp
+    # under band overflow, walk the whole band with stride span//cp
+    # (uniform coverage; the old contiguous window examined one thin
+    # center-distance slice per trial — the measured quality collapse)
+    stride = jnp.maximum(span // cp, 1)
+    rel = (off % span_m + p * stride) % span_m
+    take = lo + jnp.where(span <= cp, jnp.minimum(p, span_m - 1), rel)
     take = jnp.clip(take, 0, idx.m * idx.m - 1)
-    live = s < jnp.minimum(span, cp)
+    live = p < jnp.minimum(span, cp)
 
     pid = idx.sorted_pair[take]                      # (CP,)
     ca = jnp.where(live, pid // idx.m, 0)
     cb = jnp.where(live, pid % idx.m, 0)
 
     pc = idx.pc
-    # All expansion tensors are laid out (pc_u, pc_v, CP) / (pc, CP) —
-    # the LARGE axis minor. Any (..., small) layout pads its minor dim
-    # to the 128-lane width (a 4-42x HBM tax; the r3 phase probe
-    # measured the (CP, pc, 3) form at 5.2 s/step extraction vs 1.7 s
-    # for rowcap). Per-coordinate columns for the same reason (see
-    # ops/congruent.py's identical design note).
-    mu = jnp.minimum(idx.members[ca], idx.n - 1).T   # (pc, CP)
-    mv = jnp.minimum(idx.members[cb], idx.n - 1).T
     occ_u = jnp.minimum(idx.occ[ca], pc)             # (CP,)
     occ_v = jnp.minimum(idx.occ[cb], pc)
-    slot = jnp.arange(pc, dtype=jnp.int32)
-    mval_u = slot[:, None] < occ_u[None, :]          # (pc, CP)
-    mval_v = slot[:, None] < occ_v[None, :]
 
-    uu = mu[:, None, :]                              # (pcU, 1, CP)
-    vv = mv[None, :, :]                              # (1, pcV, CP)
-    mask = (live[None, None, :] & mval_u[:, None, :]
-            & mval_v[None, :, :] & (uu != vv))
+    # fixed-budget expansion: each window entry gets ``es`` candidate
+    # slots; slot q of an entry maps to member pair (q // occ_v,
+    # q % occ_v), rotated per trial WITHIN the entry (a bijection of
+    # [0, prod) when it fits), so dense entries lose a decorrelated —
+    # and exactly counted — subset instead of always their high-(u, v)
+    # corner. All (es, CP) tensors keep the LARGE axis minor (see
+    # ops/congruent.py's lane-layout design note).
+    prod = jnp.where(live, occ_u * occ_v, 0)         # (CP,)
+    if expand_cap is None:
+        expand_cap = cp * pc * pc                    # exact: es = pc^2
+    es = max(expand_cap // cp, 1)
+    q0 = jnp.arange(es, dtype=jnp.int32)[:, None]    # (es, 1)
+    prod_m = jnp.maximum(prod, 1)[None, :]           # (1, CP)
+    evalid = q0 < prod[None, :]                      # (es, CP)
+    qq = jnp.where(evalid, (q0 + off) % prod_m, 0)
+    ov = jnp.maximum(occ_v, 1)[None, :]
+    u = qq // ov                                     # (es, CP) slot in cell
+    v = qq % ov
 
-    xu = [pos[:, c][mu] for c in range(3)]           # (pc, CP) x3
-    xv = [pos[:, c][mv] for c in range(3)]
-    d2 = sum((xv[c][None, :, :] - xu[c][:, None, :]) ** 2
-             for c in range(3))                      # (pcU, pcV, CP)
+    # member-level gather, slot-level select (see _pick): the point
+    # ids and any point columns the predicate needs are gathered from
+    # HBM once per (member slot, window entry) — pc * CP elements —
+    # and the es * CP candidate slots route into those small tables
+    # with fused selects.
+    mode = _pick_mode()
+    if mode == "flat":
+        members_flat = jnp.minimum(idx.members.reshape(-1), idx.n - 1)
+        iu = members_flat[(ca * pc)[None, :] + u]    # (es, CP) point ids
+        iv = members_flat[(cb * pc)[None, :] + v]
+        col_u = lambda col: col[iu]
+        col_v = lambda col: col[iv]
+    else:
+        mu = jnp.minimum(idx.members[ca], idx.n - 1).T   # (pc, CP)
+        mv = jnp.minimum(idx.members[cb], idx.n - 1).T
+        iu = _pick(mu, u, mode)                      # (es, CP) point ids
+        iv = _pick(mv, v, mode)
+        col_u = lambda col: _pick(col[mu], u, mode)
+        col_v = lambda col: _pick(col[mv], v, mode)
+    mask = evalid & (iu != iv)
+
+    # exact pair predicate on (es, CP) planes (per-coordinate columns
+    # — see ops/congruent.py's lane-layout design note)
+    xu = [col_u(pos[:, c]) for c in range(3)]
+    xv = [col_v(pos[:, c]) for c in range(3)]
+    d2 = sum((xv[c] - xu[c]) ** 2 for c in range(3))
     dist = jnp.sqrt(d2)
     if cfg.use_distance_filter:
         mask &= jnp.abs(dist - pair_distance) <= pair_distance_epsilon
 
     if cfg.max_normal_difference > 0:
-        nu = [normal[:, c][mu] for c in range(3)]
-        nv = [normal[:, c][mv] for c in range(3)]
-        nsq_u = sum(nu[c] ** 2 for c in range(3))
-        nsq_v = sum(nv[c] ** 2 for c in range(3))
-        both = (nsq_u[:, None, :] > 0) & (nsq_v[None, :, :] > 0)
-        fa = jnp.sqrt(sum(
-            (nu[c][:, None, :] - nv[c][None, :, :]) ** 2
-            for c in range(3)))
-        sa = jnp.sqrt(sum(
-            (nu[c][:, None, :] + nv[c][None, :, :]) ** 2
-            for c in range(3)))
+        nu = [col_u(normal[:, c]) for c in range(3)]
+        nv = [col_v(normal[:, c]) for c in range(3)]
+        both = ((sum(nu[c] ** 2 for c in range(3)) > 0)
+                & (sum(nv[c] ** 2 for c in range(3)) > 0))
+        fa = jnp.sqrt(sum((nu[c] - nv[c]) ** 2 for c in range(3)))
+        sa = jnp.sqrt(sum((nu[c] + nv[c]) ** 2 for c in range(3)))
         nd = jnp.minimum(jnp.abs(fa - pair_normals_angle),
                          jnp.abs(sa - pair_normals_angle))
         thr = 0.5 * cfg.max_normal_difference * math.pi / 180.0
         mask &= jnp.where(both, nd <= thr, True)
 
     if cfg.max_color_distance > 0:
-        cu = [rgb[:, c][mu] for c in range(3)]
-        cv = [rgb[:, c][mv] for c in range(3)]
+        cu = [col_u(rgb[:, c]) for c in range(3)]
+        cv = [col_v(rgb[:, c]) for c in range(3)]
         base_has = (base_rgb[edge0][0] >= 0) & (base_rgb[edge1][0] >= 0)
-        use_rgb = ((cu[0][:, None, :] >= 0) & (cv[0][None, :, :] >= 0)
-                   & base_has)
+        use_rgb = (cu[0] >= 0) & (cv[0] >= 0) & base_has
         du = jnp.sqrt(sum((cu[c] - base_rgb[edge0][c]) ** 2
-                          for c in range(3)))        # (pc, CP)
+                          for c in range(3)))
         dv = jnp.sqrt(sum((cv[c] - base_rgb[edge1][c]) ** 2
                           for c in range(3)))
-        good = ((du[:, None, :] < cfg.max_color_distance)
-                & (dv[None, :, :] < cfg.max_color_distance))
+        good = ((du < cfg.max_color_distance)
+                & (dv < cfg.max_color_distance))
         mask &= jnp.where(use_rgb, good, True)
 
     if cfg.max_translation_distance > 0:
         tu = jnp.sqrt(sum((xu[c] - b0p[c]) ** 2 for c in range(3)))
         tv = jnp.sqrt(sum((xv[c] - b1p[c]) ** 2 for c in range(3)))
-        mask &= ((tu[:, None, :] < cfg.max_translation_distance)
-                 & (tv[None, :, :] < cfg.max_translation_distance))
+        mask &= ((tu < cfg.max_translation_distance)
+                 & (tv < cfg.max_translation_distance))
 
     if cfg.max_angle > 0:
         seg1 = (b1p - b0p) / jnp.linalg.norm(b1p - b0p)
-        cosang = sum((xv[c][None, :, :] - xu[c][:, None, :]) * seg1[c]
+        cosang = sum((xv[c] - xu[c]) * seg1[c]
                      for c in range(3)) / jnp.maximum(dist, 1e-30)
         cosang = jnp.clip(cosang, -1.0, 1.0)
         mask &= jnp.arccos(cosang) <= cfg.max_angle * math.pi / 180.0
 
     count = jnp.sum(mask, dtype=jnp.int32)
     if capacity is not None:
-        sel, valid, _ = masked_indices(mask.reshape(-1), capacity)
-        su = jnp.broadcast_to(uu, mask.shape).reshape(-1)[sel]
-        sv = jnp.broadcast_to(vv, mask.shape).reshape(-1)[sel]
-        pairs = jnp.stack([jnp.where(valid, su, 0),
-                           jnp.where(valid, sv, 0)],
+        flat = mask.reshape(-1)
+        sel, valid, _ = masked_indices(flat, capacity)
+        iu_f = iu.reshape(-1)
+        iv_f = iv.reshape(-1)
+        pairs = jnp.stack([jnp.where(valid, iu_f[sel], 0),
+                           jnp.where(valid, iv_f[sel], 0)],
                           axis=-1).astype(jnp.int32)
         cap_dropped = jnp.maximum(count - capacity, 0)
     else:
-        pairs = jnp.stack([jnp.broadcast_to(uu, mask.shape).reshape(-1),
-                           jnp.broadcast_to(vv, mask.shape).reshape(-1)],
+        pairs = jnp.stack([iu.reshape(-1), iv.reshape(-1)],
                           axis=-1).astype(jnp.int32)
         valid = mask.reshape(-1)
         cap_dropped = jnp.int32(0)
 
-    # overflow: band entries beyond the cap, in candidate-pair units
-    # (their occupancy products — the exact number of candidate slots
-    # never examined; the true-hit subset of those is unknowable
-    # without evaluating them, same convention as the join's
-    # cell_dropped)
+    # overflow telemetry, in candidate-pair units (the true-hit subset
+    # of unexamined candidates is unknowable without evaluating them —
+    # same convention as the join's cell_dropped): band entries beyond
+    # the window approximated by the mean kept occupancy product (f32
+    # to dodge int32 overflow at large tables), plus the EXACT count of
+    # candidates beyond each entry's expansion budget, plus validated
+    # hits beyond capacity.
     over = jnp.maximum(span - cp, 0)
-    # approximate each dropped entry by the mean kept occupancy product
-    mean_prod = jnp.sum(jnp.where(live, occ_u * occ_v, 0)) \
-        / jnp.maximum(jnp.sum(live), 1)
-    dropped = (over * mean_prod).astype(jnp.int32) + cap_dropped
+    mean_prod = (jnp.sum(prod).astype(jnp.float32)
+                 / jnp.maximum(jnp.sum(live), 1))
+    band_unexamined = jnp.minimum(
+        over.astype(jnp.float32) * mean_prod, 2.0e9).astype(jnp.int32)
+    entry_over = jnp.sum(jnp.maximum(prod - es, 0), dtype=jnp.int32)
+    dropped = band_unexamined + entry_over + cap_dropped
     return pairs, valid, count, dropped
 
 
@@ -354,6 +449,7 @@ def extract_pairs_banded_both(
     cell_pair_cap: int,
     col_offset=None,
     capacity: int | None = None,
+    expand_cap: int | None = None,
 ):
     """Both base edges through the band index (the _extract_both
     contract of matcher._build_try_base)."""
@@ -362,5 +458,6 @@ def extract_pairs_banded_both(
         out.append(extract_pairs_banded(
             idx, pos, normal, rgb, base_pos, base_norm, base_rgb,
             e0, e1, pair_distance_epsilon, cfg, cell_pair_cap,
-            rot_offset=col_offset, capacity=capacity))
+            rot_offset=col_offset, capacity=capacity,
+            expand_cap=expand_cap))
     return tuple(out)

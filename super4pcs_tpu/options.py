@@ -143,11 +143,19 @@ class Options:
     #: cell size doubles from 2 * delta until the count fits; the
     #: sorted table is budget^2 int32 — 256 MB at the default).
     band_cell_budget: int = 8192
-    #: Table entries the banded engine expands per base edge (``None``
-    #: derives from max_pairs / the 64 * nq default). Band overflow
-    #: rotates which entries survive per trial and is counted in
-    #: stats["pairs_overflow"] in candidate-pair units.
+    #: Band-window size: table entries the banded engine examines per
+    #: base edge (``None`` sizes it so the expected occupancy products
+    #: fill band_expand_cap). Under band overflow the window strides
+    #: the WHOLE band (rotated per trial); unexamined entries are
+    #: counted in stats["pairs_overflow"] in candidate-pair units.
     band_cell_pair_cap: Optional[int] = None
+    #: Candidate slots the banded engine's two-level expansion
+    #: enumerates per base edge (``None`` = 4x the pair capacity).
+    #: Each window entry gets expand_cap / cell_pair_cap slots (sized
+    #: ~2x the mean occupancy product, so ~half the slots are real
+    #: candidates); real candidates beyond an entry's budget are
+    #: counted in stats["pairs_overflow"].
+    band_expand_cap: Optional[int] = None
     #: Force the grid-hash congruent join even where the dense K x K
     #: oracle would be chosen (small nq, in-budget mask). The dense
     #: oracle is exact and faster at toy scale, but it bypasses the
@@ -242,6 +250,15 @@ class Options:
     #: threshold is reached (fraction = time only) — recommended for
     #: hard/low-capture configs where the trial estimate undershoots.
     use_full_time_budget: bool = False
+    #: Bases-axis sharded runs: all_gather the per-base pair_counts
+    #: telemetry table inside the device step (True, the default) or
+    #: return it as a sharded output concatenated lazily at host read
+    #: time (False). The table is the one step output whose size grows
+    #: with bases_per_step x mesh size; everything else is O(1).
+    #: Results are bit-identical either way — flip this off if the
+    #: in-step collective shows up on real-mesh profiles (overhead on
+    #: the 8-device virtual mesh is recorded in BASELINE.md).
+    sharded_gather_telemetry: bool = True
     #: Measure a per-phase breakdown of the device step (select/extract,
     #: join, fit, verify) by timing telescoped sub-programs once after
     #: compile — the TPU analog of the reference's TEST_GLOBAL_TIMINGS

@@ -54,6 +54,27 @@ def test_sharded_matches_single_device(rng, make_transform):
     assert abs(r_single.score - r_shard.score) < 0.05
 
 
+def test_sharded_lazy_telemetry_matches(rng, make_transform):
+    """sharded_gather_telemetry=False keeps pair_counts as a sharded
+    step output (no in-step all_gather) — results and the overflow
+    telemetry derived from the table must be identical to the gathered
+    path (the knob only moves WHERE the concatenation happens)."""
+    pos, q, mat = make_pair(rng, make_transform, n=150)
+    opts = Options(delta=0.05, sample_size=150, max_time_seconds=30,
+                   bases_per_step=8, max_quads=1024, max_candidates=2048,
+                   random_seed=11).configure_overlap(0.9)
+    r_gather = MatchSuper4PCS(opts, mesh=make_mesh()).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    r_lazy = MatchSuper4PCS(
+        opts.replace(sharded_gather_telemetry=False),
+        mesh=make_mesh()).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    assert r_lazy.score == r_gather.score
+    for key in ("pairs_overflow", "quads_overflow", "cell_dropped",
+                "n_congruent"):
+        assert r_lazy.stats[key] == r_gather.stats[key], key
+
+
 def test_bases_divisibility_validated():
     with pytest.raises(ValueError):
         MatchSuper4PCS(Options(bases_per_step=6), mesh=make_mesh())

@@ -19,8 +19,11 @@ import numpy as np
 
 from super4pcs_tpu import Options
 from super4pcs_tpu.cloud import PointCloud
-from super4pcs_tpu.matcher import (build_phase_probes, build_step,
+from super4pcs_tpu.matcher import (_enable_compilation_cache,
+                                   build_phase_probes, build_step,
                                    resolve_bases_per_step)
+
+_enable_compilation_cache()
 from super4pcs_tpu.ops import geometry, sampling
 from super4pcs_tpu.ops.band_extract import build_band_index
 
@@ -93,10 +96,31 @@ for engine in ENGINES:
         build_s = time.perf_counter() - t0
     probes = build_phase_probes(opts, nq, 0.3, band_index=bidx)
     step, _ = build_step(opts, nq, 0.3, band_index=bidx)
-    t_ex = best_of(jax.jit(probes["extract"]))
-    t_jn = best_of(jax.jit(probes["join"]))
-    t_ft = best_of(jax.jit(probes["fit"]))
-    t_full = best_of(jax.jit(step))
+
+    def timed(name, fn):
+        # stream each phase as it lands: a timed-out run (cold compiles
+        # + tunnel RPC stalls routinely eat 10s of minutes) still
+        # yields the phases it measured
+        t = best_of(jax.jit(fn))
+        print(json.dumps({"engine": engine, "phase": name,
+                          "s": round(t, 3)}), flush=True)
+        return t
+
+    t_ex = timed("extract", probes["extract"])
+    if kv.get("phases") == "extract":
+        # extract-only mode: racing extraction variants (e.g. the
+        # SUPER4PCS_TPU_BAND_PICK modes) doesn't need the downstream
+        # probes — join/fit/verify consume the same (pairs, valid)
+        # shapes regardless, and each telescoped probe is a ~10-min
+        # cold compile at nq=32768
+        if bidx is not None:
+            out["engines"][engine] = {
+                "select_extract_s": round(t_ex, 3),
+                "index_build_s": round(build_s, 3)}
+        continue
+    t_jn = timed("join", probes["join"])
+    t_ft = timed("fit", probes["fit"])
+    t_full = timed("full_step", step)
     row = {"select_extract_s": round(t_ex, 3),
            "join_s": round(max(t_jn - t_ex, 0), 3),
            "fit_s": round(max(t_ft - t_jn, 0), 3),

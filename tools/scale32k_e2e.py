@@ -41,6 +41,9 @@ configs = [
     {"pair_engine": "banded", "max_pairs": 16 * NQ},
     {"pair_engine": "rowcap", "max_pairs": 16 * NQ},
 ]
+if "engines" in kv:          # e.g. engines=banded runs only those rows
+    wanted = kv["engines"].split(",")
+    configs = [c for c in configs if c["pair_engine"] in wanted]
 for extra in configs:
     opts = (Options(delta=DELTA, sample_size=NQ, max_time_seconds=budget,
                     p_sample_budget=131072, random_seed=seed, **extra)

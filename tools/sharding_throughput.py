@@ -1,15 +1,24 @@
 """Measure what bases-axis sharding buys (VERDICT r2 #7).
 
-Step throughput (trials/s) vs bases_per_step x mesh size on the
-virtual 8-device CPU mesh, plus the single-chip vmap-width curve when
-run on the real TPU. Also isolates the per-step collective cost of the
-sharded wrapper (all_gather of the tiny result dict + per-base
-telemetry) by comparing one-device shard_map vs plain jit at equal B.
+Two honest measurements — this image has ONE host core, so the
+8-virtual-device CPU mesh serializes all shards (measured: 2014 s for
+one mesh=8 x B=16 step at nq=1024 that plain jit runs in ~1/8 the
+work-time) and "trials/s vs mesh size" on it is meaningless:
+
+  tpu: the single-chip vmap-width curve (trials/s vs bases_per_step) —
+       the real signal for what per-device step width buys; mesh
+       scaling multiplies it by the device count minus the overheads
+       measured below.
+  cpu: OVERHEAD deltas at equal per-device work on the virtual mesh,
+       where shared-core serialization cancels out: (a) plain jit vs
+       one-device shard_map (wrapper cost), (b) mesh=8 gather_telemetry
+       on vs off (the per-base telemetry all_gather — the one step
+       output that grows with B x mesh).
 
 Usage:
-  python tools/sharding_throughput.py cpu    # 8 virtual devices
-  python tools/sharding_throughput.py tpu    # 1 real chip, vmap widths
-Prints one JSON line.
+  python tools/sharding_throughput.py tpu [nq=1024]
+  python tools/sharding_throughput.py cpu [nq=256]
+Prints one JSON line per row as it completes, then a summary line.
 """
 import _path  # noqa: F401
 import json
@@ -17,6 +26,7 @@ import sys
 import time
 
 backend = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+kv = dict(item.split("=", 1) for item in sys.argv[2:])
 if backend == "cpu":
     import os
     flags = os.environ.get("XLA_FLAGS", "")
@@ -31,15 +41,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from super4pcs_tpu import Options
-from super4pcs_tpu.matcher import build_step
+from super4pcs_tpu.matcher import _enable_compilation_cache, build_step
+
+_enable_compilation_cache()
 from super4pcs_tpu.ops import sampling, geometry
 from super4pcs_tpu.cloud import PointCloud
 from super4pcs_tpu.parallel import make_mesh
 from super4pcs_tpu.parallel.sharded import sharded_step
 
-NQ = 1024          # mid-scale: per-step work large enough to matter
-                   # (2048 made the CPU-mesh table take hours)
-REPS = 3
+NQ = int(kv.get("nq", 256 if backend == "cpu" else 1024))
+REPS = 2
 
 rng = np.random.default_rng(0)
 v = rng.normal(size=(20000, 3))
@@ -88,36 +99,43 @@ out = {"backend": backend, "nq": nq, "rows": []}
 
 if backend == "cpu":
     devs = jax.devices()
-    for mesh_n in (1, 2, 4, 8):
-        for b in (16, 64):
-            if b % mesh_n:
-                continue
-            opts = opts0.replace(bases_per_step=b)
-            step, _ = build_step(opts, nq, 0.3)
-            mesh = make_mesh(devs[:mesh_n])
-            fn = sharded_step(step, mesh)
-            sh = jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec("bases"))
-            keys_of = lambda i, b=b, sh=sh: jax.device_put(
-                jax.random.split(jax.random.key(i), b), sh)
-            dt = time_step(fn, keys_of)
-            out["rows"].append({"mesh": mesh_n, "bases": b,
-                                "step_s": round(dt, 4),
-                                "trials_per_s": round(b / dt, 1)})
-    # collective overhead: plain jit vs 1-device shard_map at B=16
-    opts = opts0.replace(bases_per_step=16)
+    B = 16
+    opts = opts0.replace(bases_per_step=B)
     step, _ = build_step(opts, nq, 0.3)
+
+    def keys_for(mesh):
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("bases"))
+        return lambda i, sh=sh: jax.device_put(
+            jax.random.split(jax.random.key(i), B), sh)
+
+    # (a) wrapper cost: plain jit vs one-device shard_map, equal B
     t_jit = time_step(jax.jit(step),
-                      lambda i: jax.random.split(jax.random.key(i), 16))
-    mesh = make_mesh(devs[:1])
-    sh1 = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec("bases"))
-    t_sm = time_step(
-        sharded_step(step, mesh),
-        lambda i: jax.device_put(
-            jax.random.split(jax.random.key(i), 16), sh1))
-    out["collective_overhead_s"] = round(t_sm - t_jit, 4)
-    out["jit_step_s"] = round(t_jit, 4)
+                      lambda i: jax.random.split(jax.random.key(i), B))
+    row = {"case": "jit", "mesh": 1, "bases": B, "step_s": round(t_jit, 4)}
+    print(json.dumps(row), flush=True)
+    out["rows"].append(row)
+    mesh1 = make_mesh(devs[:1])
+    t_sm = time_step(sharded_step(step, mesh1), keys_for(mesh1))
+    row = {"case": "shard_map", "mesh": 1, "bases": B,
+           "step_s": round(t_sm, 4)}
+    print(json.dumps(row), flush=True)
+    out["rows"].append(row)
+    out["wrapper_overhead_s"] = round(t_sm - t_jit, 4)
+
+    # (b) telemetry-gather cost: mesh=8 with the per-base pair_counts
+    # table all_gathered in-step vs returned as a sharded leaf
+    mesh8 = make_mesh(devs)
+    for gt in (True, False):
+        dt = time_step(
+            sharded_step(step, mesh8, gather_telemetry=gt),
+            keys_for(mesh8))
+        row = {"case": f"mesh8_gather={gt}", "mesh": 8, "bases": B,
+               "step_s": round(dt, 4)}
+        print(json.dumps(row), flush=True)
+        out["rows"].append(row)
+    out["telemetry_gather_overhead_s"] = round(
+        out["rows"][-2]["step_s"] - out["rows"][-1]["step_s"], 4)
 else:
     # single real chip: vmap width curve (throughput vs bases_per_step)
     for b in (8, 16, 32, 64, 128):
@@ -126,7 +144,9 @@ else:
         dt = time_step(
             jax.jit(step),
             lambda i, b=b: jax.random.split(jax.random.key(i), b))
-        out["rows"].append({"bases": b, "step_s": round(dt, 4),
-                            "trials_per_s": round(b / dt, 1)})
+        row = {"bases": b, "step_s": round(dt, 4),
+               "trials_per_s": round(b / dt, 1)}
+        print(json.dumps(row), flush=True)
+        out["rows"].append(row)
 
 print(json.dumps(out))
