@@ -145,6 +145,7 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     """
     if opts.bases_per_step is None:
         opts = opts.replace(bases_per_step=resolve_bases_per_step(opts, nq))
+    engine = resolve_pair_engine(opts, nq, band_index is not None)
     # Capacity defaults. The reference keeps *all* pairs and scores
     # *every* congruent quad (ref:hpp:390-393); undersized buffers
     # silently drop true candidates, so defaults err generous —
@@ -155,7 +156,10 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     # quality (a base only succeeds when BOTH edges' true counterpart
     # pairs survive the cap), so the heuristic widens: 64 * nq measured
     # 3/3 seeds >= 0.97 LCP on the fine-delta 100k config vs flaky
-    # 0.78-0.99 at 16 * nq.
+    # 0.78-0.99 at 16 * nq — EXCEPT on the banded engine, whose
+    # candidates are already distance-band-filtered before capture:
+    # there 16 * nq measured quality parity with 64 * nq at nq=32768
+    # (LCP 0.8539 vs 0.8545, seed 5) at ~4x cheaper steps (BASELINE r3).
     # (widened proportionally under coarse search: the distance band —
     # and so the per-row hit count — scales with search_delta_factor)
     if opts.max_pairs:
@@ -167,9 +171,10 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         # pairs. Size for the full set (it is the exact count).
         k_pairs = _round_up(nq * (nq - 1), 128)
     else:
+        per_nq = 64 if (nq > 2048 and engine != "banded") else 16
         k_pairs = _round_up(
             min(nq * nq,
-                max(int((64 if nq > 2048 else 16) * nq
+                max(int(per_nq * nq
                         * max(opts.search_delta_factor, 1.0)), 512)), 128)
     k_quads = _round_up(
         opts.max_quads or min(max(8 * nq, 512), 8192), 128)
@@ -216,7 +221,6 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     # at toy scale) — and it is exact: no per-cell cap, no cell_dropped
     # pressure. The element budget bounds the vmapped mask + compaction
     # footprint (k_pairs^2 * B bools + one cumsum).
-    engine = resolve_pair_engine(opts, nq, band_index is not None)
     dense_join = (not opts.force_grid_join
                   and engine == "dense"
                   and k_pairs * k_pairs * b_per_step <= (1 << 30))
