@@ -97,6 +97,11 @@ def resolve_bases_per_step(opts: Options, nq: int,
     b = opts.bases_per_step
     if b is None:
         b = 16 if nq > 1024 else 64
+        if opts.estimate_scale and nq > 2048:
+            # the allpairs engine's implicit table is nq^2 rows PER
+            # BASE; a narrow step keeps the per-step join sort and its
+            # HBM footprint bounded (nq=4096, B=4: ~67M sorted rows)
+            b = 4
         if mesh_size > 1:
             b = _round_up(b, mesh_size)
     return b
@@ -112,6 +117,18 @@ def resolve_pair_engine(opts: Options, nq: int,
     pass have_band_index=False and get the rowcap fallback."""
     e = opts.pair_engine
     if e == "auto":
+        if opts.estimate_scale:
+            # scale mode disables the distance band, so EVERY ordered
+            # (i, j) is a candidate: any capped capture of the nq^2
+            # space loses the true (pair1, pair2) joint (measured fail
+            # at nq=2500 with 64*nq rowcap capture). Dense exact
+            # capture to 2048; above that the ALLPAIRS implicit table —
+            # the join reads the full ordered-pair enumeration in
+            # rowcap layout (row t = (t // nq, t % nq)): zero capture
+            # loss, zero extraction cost, both hash-stage endpoint
+            # columns pure broadcasts (see ops/congruent.py
+            # allpairs_cols).
+            return "dense" if nq <= 2048 else "allpairs"
         # thresholds measured on TPU v5 lite (tools/band_scale_bench):
         # at nq=32768 rowcap is 1.5x faster per step (5.8 s vs 8.7 s);
         # at nq=65536 rowcap's approx-top-k OOMs HBM (19.5 G > 15.75 G)
@@ -119,13 +136,6 @@ def resolve_pair_engine(opts: Options, nq: int,
         # past 32k, not the fastest at 32k
         e = ("dense" if nq <= 2048
              else ("rowcap" if nq <= 32768 else "banded"))
-        if e == "banded" and opts.estimate_scale:
-            # scale mode disables the distance band — the banded
-            # engine's whole premise — so its capture degenerates to
-            # random cell pairs; rotated rowcap capture is strictly
-            # better there. (Reachable only when scale_max_q is raised
-            # past the banded threshold — see Options.scale_max_q.)
-            e = "rowcap"
     if e == "banded" and not have_band_index:
         e = "rowcap" if nq > 2048 else "dense"
     return e
@@ -162,7 +172,17 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     # (LCP 0.8539 vs 0.8545, seed 5) at ~4x cheaper steps (BASELINE r3).
     # (widened proportionally under coarse search: the distance band —
     # and so the per-row hit count — scales with search_delta_factor)
-    if opts.max_pairs:
+    if engine == "allpairs":
+        if not opts.estimate_scale:
+            # without estimate_scale the join applies no pair-distance
+            # predicate, so the unfiltered table would admit any-length
+            # pairs — the engine is only meaningful in scale mode
+            raise ValueError("pair_engine='allpairs' requires "
+                             "estimate_scale=True")
+        # the implicit table IS the full enumeration: k1 = nq * nq by
+        # layout (max_pairs does not apply — there is no capture)
+        k_pairs = nq * nq
+    elif opts.max_pairs:
         k_pairs = opts.max_pairs
     elif opts.estimate_scale and nq <= 2048:
         # similarity mode disables the distance filter, so EVERY ordered
@@ -241,6 +261,19 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                     extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
                                   2, 3, eps, pcfg, capacity=k_pairs,
                                   row_offset=ro))
+    elif engine == "allpairs":
+        join_row_cap = nq
+
+        def _extract_both(pos, normal, rgb, bpos, bnorm, brgb, eps,
+                          pcfg, col_offset=None):
+            # nothing to extract: the join derives pair (row, col) from
+            # the slot index (allpairs_cols). count is the exact hit
+            # count — every ordered off-diagonal pair (the scale-
+            # consistency gate rejects the diagonal's zero-length rows)
+            valid = jnp.ones((nq * nq,), bool)
+            cnt = jnp.int32(nq * (nq - 1))
+            z = jnp.int32(0)
+            return (None, valid, cnt, z), (None, valid, cnt, z)
     elif engine == "banded":
         join_row_cap = None
         pc = band_index.pc
@@ -299,9 +332,14 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         if opts.estimate_scale:
             seg_ratio = n_s1 / n_s2
             scale_band = geometry.SCALE_RATIO_DEV
+            # per-trial rotation of the strided Q-side probe sample
+            # (see find_congruent_quads_grid q_uniform)
+            qrot = jax.random.randint(
+                jax.random.fold_in(key, 104729), (), 0, k_pairs)
         else:
             seg_ratio = None
             scale_band = -1.0
+            qrot = None
 
         if dense_join:
             quads, qvalid, qcount = congruent.find_congruent_quads(
@@ -328,6 +366,14 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                     # cells instead
                     cell_size=cell_size,
                     row_cap=join_row_cap,
+                    allpairs_cols=(engine == "allpairs"),
+                    # strided Q-side sampling only where the valid
+                    # prefix is structurally biased (the raw allpairs
+                    # enumeration); dense-captured buffers keep the
+                    # prefix rule — their rotated capture already
+                    # decorrelates, and it is the validated behavior
+                    q_uniform=(engine == "allpairs"),
+                    q_rot=qrot,
                     # probe compaction: the gather/validate volume
                     # follows cells actually hit instead of probes
                     # issued. On the rowcap path qb defaults to the
@@ -361,8 +407,11 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                     ids=ids, quads=quads,
                     counts=jnp.stack([c1, c2, qcount, qdropped, d1 + d2]),
                     # intermediates for the phase probes (unused outputs
-                    # are dead-code-eliminated from the production step)
-                    _pairs_sum=(jnp.sum(pairs1 * v1[:, None])
+                    # are dead-code-eliminated from the production step;
+                    # the allpairs engine has no pair arrays — its
+                    # extraction phase is empty by construction)
+                    _pairs_sum=(jnp.int32(0) if pairs1 is None else
+                                jnp.sum(pairs1 * v1[:, None])
                                 + jnp.sum(pairs2 * v2[:, None])),
                     _quads_sum=jnp.sum(quads * qvalid[:, None]))
 

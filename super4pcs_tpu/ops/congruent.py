@@ -233,6 +233,9 @@ def find_congruent_quads_grid(
     cell_size: float | None = None,
     seg_ratio=None,
     scale_band: float = -1.0,
+    allpairs_cols: bool = False,
+    q_uniform: bool = False,
+    q_rot=None,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -286,15 +289,36 @@ def find_congruent_quads_grid(
     in ``dropped`` exactly like per-cell cap overflow. ``None`` (the
     default) disables compaction — no probe is ever dropped.
 
+    ``allpairs_cols`` (requires ``row_cap``) declares the IMPLICIT
+    full-pair table of the scale-mode "allpairs" engine: table row
+    ``t`` IS the ordered pair ``(t // row_cap, t % row_cap)`` — no
+    pair array exists (``pairs1``/``pairs2`` may be None) and BOTH
+    endpoint columns of the hash stage are pure broadcasts of ``pos``:
+    the engine's whole point is zero capture loss over the nq^2 pair
+    space of estimate_scale mode (the distance filter is off, so every
+    ordered pair is a candidate — see matcher.resolve_pair_engine) at
+    zero extraction cost and zero K1-sized gathers.
+
+    ``q_uniform`` replaces the first-``q_budget``-valid-slots probe
+    selection with a rotated strided walk over the whole second-side
+    buffer (rotation ``q_rot``, re-drawn per trial). The prefix rule is
+    right when pairs are band-filtered (any qb of them is a uniform
+    subsample of a thin shell); in scale mode the buffer is the raw
+    pair ENUMERATION, whose prefix is all pairs anchored at a handful
+    of first endpoints — starving the probe side of diversity is what
+    drove the measured nq=2500 registration failure.
+
     Returns (quads, valid, count, dropped).
     """
     r = distance_threshold
     cell = cell_size if cell_size is not None else 2.0 * r
     w = probe_window(r, cell)
     n_probe = w * w * w
-    k1 = pairs1.shape[0]
-    k2 = pairs2.shape[0]
+    k1 = valid1.shape[0]
+    k2 = valid2.shape[0]
     L = cell_candidates
+    if allpairs_cols and row_cap is None:
+        raise ValueError("allpairs_cols requires row_cap")
 
     # gather each pair's endpoints once; e1 and the direction both
     # derive from (a1, b1). Everything K1-sized is kept as 1-D
@@ -302,12 +326,13 @@ def find_congruent_quads_grid(
     # TPU layout (3 -> 128), a 64x HBM blowup that OOMs at the
     # fine-delta operating point (measured 21.5 GB for the vmapped
     # invariant-point tensor at K1=2.6M x 16 bases).
-    cols1 = pairs1[:, 1]
+    cols1 = None if allpairs_cols else pairs1[:, 1]
     if row_cap is not None:
         # rows are 0..n_rows-1 in order (n_rows may exceed len(pos) by
         # block padding; those rows are invalid and clamp like gathers)
         n_rows = k1 // row_cap
         row_clamp = jnp.minimum(jnp.arange(n_rows), pos.shape[0] - 1)
+        col_clamp = jnp.minimum(jnp.arange(row_cap), pos.shape[0] - 1)
     def _e1_components(rows, cols):
         """Invariant-point components of table pairs (rows, cols) —
         shared by the hash below and the lazy validation (identical
@@ -320,7 +345,21 @@ def find_congruent_quads_grid(
             out.append((ac, bc, ac + invariant1 * (bc - ac)))
         return out
 
-    if row_cap is not None:
+    if allpairs_cols:
+        # Implicit full-pair table: row t = (t // row_cap, t % row_cap).
+        # BOTH endpoint columns are broadcasts of small pos gathers —
+        # the hash stage of the nq^2-row table does no K1-sized gather
+        # at all (the 'a' side repeats per row, the 'b' side repeats
+        # per column of the enumeration).
+        e1c = []
+        for c in range(3):
+            pc = pos[:, c]
+            ac = jnp.broadcast_to(
+                pc[row_clamp][:, None], (n_rows, row_cap)).reshape(k1)
+            bc = jnp.broadcast_to(
+                pc[col_clamp][None, :], (n_rows, row_cap)).reshape(k1)
+            e1c.append(ac + invariant1 * (bc - ac))
+    elif row_cap is not None:
         # The 'a' endpoint is constant across a row's slots: gather it
         # once per ROW (n_rows elements) and broadcast across the
         # row_cap axis. TPU gathers are element-at-a-time, so this
@@ -366,10 +405,25 @@ def find_congruent_quads_grid(
     use_dir = cone_cos_tolerance >= 0
     use_healpix = use_dir and direction_bins == "healpix"
 
-    # Q-side budget: compact the first qb valid second-side pairs
+    # Q-side budget: compact the first qb valid second-side pairs —
+    # or, under q_uniform (scale mode), a rotated strided walk over the
+    # whole buffer (see the docstring: the valid prefix of a raw pair
+    # enumeration has no first-endpoint diversity)
     qb = min(q_budget or 8192, k2)
-    sel2, sel2_valid, n2 = masked_indices(valid2, qb)
-    pairs2b = pairs2[sel2]                                     # (QB, 2)
+    if q_uniform:
+        stride = max(k2 // qb, 1)
+        rot = (jnp.int32(0) if q_rot is None
+               else jnp.asarray(q_rot, jnp.int32))
+        sel2 = (jnp.arange(qb, dtype=jnp.int32) * stride + rot) % k2
+        sel2_valid = valid2[sel2]
+        n2 = jnp.sum(valid2, dtype=jnp.int32)
+    else:
+        sel2, sel2_valid, n2 = masked_indices(valid2, qb)
+    if allpairs_cols and pairs2 is None:
+        pairs2b = jnp.stack([sel2 // row_cap, sel2 % row_cap],
+                            axis=-1).astype(jnp.int32)         # (QB, 2)
+    else:
+        pairs2b = pairs2[sel2]                                 # (QB, 2)
     a2 = pos[pairs2b[:, 0]]
     b2 = pos[pairs2b[:, 1]]
     e2 = a2 + invariant2 * (b2 - a2)                           # (QB, 3)
@@ -481,7 +535,7 @@ def find_congruent_quads_grid(
         trow = jnp.minimum(orid // row_cap, pos.shape[0] - 1)
     else:
         trow = rows1[orid]
-    tcol = cols1[orid]
+    tcol = (orid % row_cap) if allpairs_cols else cols1[orid]
 
     # exact validation: invariant-point distance, then the direction
     # filter — both recomputed exactly (identical arithmetic to the
@@ -521,7 +575,10 @@ def find_congruent_quads_grid(
 
     sel, valid, count = masked_indices(mask.reshape(-1), capacity)
     orid_sel = orid.reshape(-1)[sel]
-    if row_cap is not None:
+    if allpairs_cols:
+        q1 = jnp.stack([orid_sel // row_cap, orid_sel % row_cap],
+                       axis=-1)
+    elif row_cap is not None:
         # derive (row, col) without touching the (K1, 2) pairs tensor
         # (a padded-minor-dim layout hazard at table sizes)
         q1 = jnp.stack([orid_sel // row_cap, cols1[orid_sel]], axis=-1)

@@ -120,13 +120,16 @@ class Options:
     join_probe_budget: Optional[int] = None
     #: Scale-mode (estimate_scale) Q-sample ceiling. With the distance
     #: filter off, EVERY ordered (i, j) is a pair: the pair space is
-    #: nq^2 and any capped capture covers (capacity / nq^2)^2 of the
-    #: (pair1, pair2) joint per trial — at nq = 2500 that is ~0.07%
-    #: and registration reliably fails (measured; see
-    #: tests/test_matcher.py::test_scale_mode_q_ceiling). The matcher
-    #: therefore truncates the Q sample to this many points in scale
-    #: mode (logged; counted in stats["scale_q_capped"]). Raise it only
-    #: with max_pairs sized ~nq^2 and a matching time budget.
+    #: nq^2, and a capped *capture* of it covers (capacity / nq^2)^2 of
+    #: the (pair1, pair2) joint per trial — measured to fail outright
+    #: at nq = 2500 with the 64*nq rowcap capture (see
+    #: tests/test_matcher.py::test_scale_mode_q_ceiling). Above 2048
+    #: the matcher therefore switches to the "allpairs" implicit-table
+    #: engine (zero capture loss; per-base cost grows as nq^2 table
+    #: rows through the join sort), and this ceiling bounds that nq^2
+    #: growth: Q samples beyond it are truncated (logged; counted in
+    #: stats["scale_q_capped"]). Raising it is supported — the cost is
+    #: step time (~nq^2), not correctness.
     scale_max_q: int = 2048
     #: Pair-extraction engine: "auto" picks dense masking (nq <= 2048),
     #: row-capped approx-top-k capture (2048 < nq <= 32768), or the
@@ -134,10 +137,15 @@ class Options:
     #: HBM there, measured at nq=65536 on v5 lite; banded work scales
     #: with the output, not nq^2; see ops/band_extract.py, the TPU
     #: re-design of ref:accelerators/pairExtraction/
-    #: intersectionFunctor.h:105-233). Explicit values pin one engine;
-    #: batched scan-graph registration (parallel/batch.py) vmaps one
-    #: program over per-pair Q arrays, so it cannot use "banded"
-    #: (the index is per-cloud) and falls back to rowcap/dense.
+    #: intersectionFunctor.h:105-233). In estimate_scale mode "auto"
+    #: picks dense (nq <= 2048) or "allpairs" — the scale-mode engine
+    #: with NO capture at all: the congruent join reads the implicit
+    #: full ordered-pair enumeration (see ops/congruent.py
+    #: allpairs_cols; requires estimate_scale). Explicit values pin one
+    #: engine; batched scan-graph registration (parallel/batch.py)
+    #: vmaps one program over per-pair Q arrays, so it cannot use
+    #: "banded" (the index is per-cloud) and falls back to
+    #: rowcap/dense.
     pair_engine: str = "auto"
     #: Occupied-cell budget of the banded engine's spatial grid (the
     #: cell size doubles from 2 * delta until the count fits; the
@@ -309,10 +317,15 @@ class Options:
             raise ValueError(
                 f"direction_bins must be 'cone' or 'healpix', got "
                 f"{self.direction_bins!r}")
-        if self.pair_engine not in ("auto", "dense", "rowcap", "banded"):
+        if self.pair_engine not in ("auto", "dense", "rowcap", "banded",
+                                    "allpairs"):
             raise ValueError(
-                f"pair_engine must be one of auto/dense/rowcap/banded, "
-                f"got {self.pair_engine!r}")
+                f"pair_engine must be one of auto/dense/rowcap/banded/"
+                f"allpairs, got {self.pair_engine!r}")
+        if self.pair_engine == "allpairs" and not self.estimate_scale:
+            raise ValueError(
+                "pair_engine='allpairs' is the scale-mode engine and "
+                "requires estimate_scale=True")
 
 
 # Constants shared with the reference algorithm core.

@@ -616,13 +616,52 @@ def test_mode_parity_pose_hippo():
     assert rot_diff <= 0.2 and tr_diff <= 0.1, (rot_diff, tr_diff)
 
 
+def test_scale_mode_allpairs_engine(rng, make_transform):
+    """The large-nq scale-mode engine ("allpairs": the congruent join
+    reads the IMPLICIT full ordered-pair enumeration — zero capture
+    loss, zero extraction; see ops/congruent.py allpairs_cols), forced
+    at small nq so CPU CI covers the whole path: implicit table +
+    broadcast hash columns + rotated strided Q-side sampling
+    (q_uniform). Validated at nq=2500 on TPU — the size where capped
+    capture measurably fails (BASELINE.md r3)."""
+    s = 1.4
+    pos = bumpy_cloud(rng, 96)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = ((pos @ inv[:3, :3].T + inv[:3, 3]) / s).astype(np.float32)
+
+    opts = Options(delta=0.04, sample_size=96, max_time_seconds=60,
+                   bases_per_step=8, estimate_scale=True,
+                   pair_engine="allpairs", max_quads=2048,
+                   max_candidates=8192,
+                   random_seed=21).configure_overlap(0.8, 0.9)
+    res = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    assert res.score > 0.8, res.score
+    est_scale = np.linalg.norm(res.transform[:3, :3], axis=0).mean()
+    assert abs(est_scale - s) < 0.05, est_scale
+    moved = q @ res.transform[:3, :3].T + res.transform[:3, 3]
+    assert np.median(np.linalg.norm(moved - pos, axis=1)) < 0.04
+
+    # the engine is scale-mode-only (no pair-distance predicate exists
+    # in the join), and auto picks it above the dense ceiling
+    from super4pcs_tpu.matcher import resolve_pair_engine
+    base = Options(estimate_scale=True)
+    assert resolve_pair_engine(base, 1024) == "dense"
+    assert resolve_pair_engine(base, 4096) == "allpairs"
+    with pytest.raises(ValueError):
+        Options(pair_engine="allpairs")
+
+
 def test_scale_mode_q_ceiling(rng, make_transform):
     """estimate_scale enforces the documented Q-sample ceiling
     (Options.scale_max_q): with the distance filter off the pair space
-    is nq^2 and a capped capture loses the true (pair1, pair2) joint —
-    measured to fail outright at nq=2500 (VERDICT r2 weak #7). The
-    matcher truncates Q to the ceiling (counted in stats) and still
-    recovers pose AND scale on the truncated sample."""
+    is nq^2 — a capped CAPTURE loses the true (pair1, pair2) joint
+    (measured to fail outright at nq=2500, VERDICT r2 weak #7; the
+    allpairs engine now removes the capture and registers there —
+    BASELINE.md r3 — so the ceiling bounds nq^2 step COST, not
+    correctness). The matcher truncates Q to the ceiling (counted in
+    stats) and still recovers pose AND scale on the truncated sample."""
     s = 1.4
     pos = bumpy_cloud(rng, 2500)
     mat = make_transform(max_translation=0.3)
