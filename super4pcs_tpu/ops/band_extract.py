@@ -77,48 +77,54 @@ _SQRT3 = math.sqrt(3.0)
 class BandIndex:
     """Once-per-run spatial index over the (centered) Q samples.
 
-    Device arrays:
+    Registered as a jax PYTREE (array leaves + static meta), so a
+    batched form — every leaf carrying a leading pairs axis — vmaps
+    straight through ``extract_pairs_banded`` (the banded x batch
+    composition of parallel/batch.py; see
+    :func:`build_batched_band_index`).
+
+    Array leaves:
       members:     (M_cap, pc) int32 — point ids per occupied cell,
                    padded with ``n`` (callers clamp; valid via occ).
       occ:         (M_cap,) int32 — true member count per cell (may
                    exceed pc; the excess is counted in member_dropped).
       centers:     (M_cap, 3) f32 — geometric cell centers (occupied
-                   cells; padding rows carry +inf so their distances
-                   sort to the table's tail).
+                   cells; padding rows carry huge distinct coordinates
+                   so their pair distances sort to the table's tail).
       sorted_pair: (M_cap * M_cap,) int32 — ordered cell-pair ids
                    (a * M_cap + b) sorted by ascending center distance.
                    Distances are NOT stored: binary-search probes
                    recompute them from ``centers`` (halves the table's
                    HBM footprint; the search does ~2 log2(M^2) probes).
-    Host scalars:
-      g: cell size; m: occupied cell count; n: point count;
+      g:           f32 scalar — cell size (a leaf so a batch can carry
+                   one per pair).
+    Static meta:
+      m: table stride (padded cell count M_cap); m_real: occupied cell
+      count; n: point count; pc: member slots per cell;
       member_dropped: points beyond the pc member cap (whole run).
     """
     members: jnp.ndarray
     occ: jnp.ndarray
     centers: jnp.ndarray
     sorted_pair: jnp.ndarray
-    g: float
+    g: jnp.ndarray
     m: int
     n: int
     pc: int
     member_dropped: int
+    m_real: int = 0
 
 
-def build_band_index(q_pos: np.ndarray, delta: float,
-                     cell_budget: int = 8192,
-                     pc: int | None = None) -> BandIndex:
-    """Build the index. Host does the (cheap) bucketing; the O(M^2)
-    distance table is sorted on device.
+jax.tree_util.register_dataclass(
+    BandIndex,
+    data_fields=("members", "occ", "centers", "sorted_pair", "g"),
+    meta_fields=("m", "n", "pc", "member_dropped", "m_real"))
 
-    ``cell_budget``: static cap on occupied cells — the cell size g
-    starts at 2 * delta (the sampler guarantees >= delta point spacing,
-    so occupancy stays small) and doubles until the occupied count
-    fits. ``pc``: member slots per cell (default: the observed max
-    occupancy, capped at 32).
-    """
+
+def _host_bucket(q_pos: np.ndarray, delta: float, cell_budget: int):
+    """Voxel-bucket the samples on host (cheap): the g-doubling fit to
+    the cell budget, unique cells, member ordering, geometric centers."""
     q = np.asarray(q_pos, np.float32)
-    n = q.shape[0]
     g = 2.0 * float(delta)
     for _ in range(40):
         cells = np.floor(q / g).astype(np.int64)
@@ -132,30 +138,21 @@ def build_band_index(q_pos: np.ndarray, delta: float,
         if len(uniq) <= cell_budget:
             break
         g *= 2.0
-    m = len(uniq)
-    m_cap = m  # static per run; rebuilt per run anyway
-
-    if pc is None:
-        pc = int(min(max(counts.max(), 1), 32))
     order = np.argsort(inv_idx, kind="stable")
-    starts = np.zeros(m, np.int64)
+    starts = np.zeros(len(uniq), np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    members = np.full((m_cap, pc), n, np.int32)
-    occ = counts.astype(np.int32)
-    member_dropped = int(np.maximum(counts - pc, 0).sum())
-    take = np.minimum(counts, pc)
-    for s in range(pc):
-        rows = take > s
-        members[rows, s] = order[starts[rows] + s]
-
     # geometric centers of occupied cells (original coordinates)
     cell_coords = np.stack([(uniq // (span * span)),
                             (uniq // span) % span,
                             uniq % span], axis=1).astype(np.float64)
     centers = ((cell_coords + mn + 0.5) * g).astype(np.float32)
+    return g, counts, order, starts, centers
 
-    # device: all ordered cell-pair center distances, sorted ascending,
-    # carrying only the packed pair id (distance recomputed on probe)
+
+def _device_sort_table(centers: np.ndarray) -> jnp.ndarray:
+    """All ordered cell-pair center distances, sorted ascending,
+    carrying only the packed pair id (distance recomputed on probe)."""
+    m_cap = centers.shape[0]
     d_centers = jnp.asarray(centers)
 
     @jax.jit
@@ -169,11 +166,103 @@ def build_band_index(q_pos: np.ndarray, delta: float,
         _, pair = jax.lax.sort((d2, ids), num_keys=1)
         return pair
 
-    sorted_pair = _sort_table(d_centers)
+    return d_centers, _sort_table(d_centers)
+
+
+def build_band_index(q_pos: np.ndarray, delta: float,
+                     cell_budget: int = 8192,
+                     pc: int | None = None,
+                     m_pad: int | None = None,
+                     n_override: int | None = None) -> BandIndex:
+    """Build the index. Host does the (cheap) bucketing; the O(M^2)
+    distance table is sorted on device.
+
+    ``cell_budget``: static cap on occupied cells — the cell size g
+    starts at 2 * delta (the sampler guarantees >= delta point spacing,
+    so occupancy stays small) and doubles until the occupied count
+    fits. ``pc``: member slots per cell (default: the observed max
+    occupancy, capped at 32). ``m_pad`` / ``n_override``: pad the cell
+    table to a shared shape / clamp target, so a batch of indexes can
+    stack (padding cells have occ 0 and huge DISTINCT centers — their
+    pair distances sort to the tail, past every band; a pad-pad pair is
+    never at distance 0, so it cannot alias a short base edge).
+    """
+    q = np.asarray(q_pos, np.float32)
+    n = int(n_override) if n_override is not None else q.shape[0]
+    g, counts, order, starts, centers = _host_bucket(
+        q, delta, cell_budget)
+    m = len(counts)
+    m_cap = int(m_pad) if m_pad is not None else m
+    if m_cap < m:
+        raise ValueError(f"m_pad ({m_cap}) < occupied cells ({m})")
+
+    if pc is None:
+        pc = int(min(max(counts.max(), 1), 32))
+    members = np.full((m_cap, pc), n, np.int32)
+    occ = np.zeros(m_cap, np.int32)
+    occ[:m] = counts.astype(np.int32)
+    member_dropped = int(np.maximum(counts - pc, 0).sum())
+    take = np.minimum(counts, pc)
+    for s in range(pc):
+        rows = np.zeros(m_cap, bool)
+        rows[:m] = take > s
+        members[rows, s] = order[starts[take > s] + s]
+
+    if m_cap > m:
+        # distinct far-away padding centers: pairwise distances among
+        # pads and to real cells are ~1e12+, beyond any band query
+        pad = 1.0e12 + 1.0e6 * np.arange(m_cap - m, dtype=np.float64)
+        centers = np.concatenate(
+            [centers, np.stack([pad, pad, pad], 1).astype(np.float32)])
+
+    d_centers, sorted_pair = _device_sort_table(centers)
     return BandIndex(members=jnp.asarray(members), occ=jnp.asarray(occ),
                      centers=d_centers, sorted_pair=sorted_pair,
-                     g=g, m=m, n=n, pc=pc,
-                     member_dropped=member_dropped)
+                     g=jnp.float32(g), m=m_cap, n=n, pc=pc,
+                     member_dropped=member_dropped, m_real=m)
+
+
+def build_batched_band_index(q_pos_list, delta: float,
+                             cell_budget: int = 8192) -> BandIndex:
+    """Per-pair band indexes padded to one shared shape and stacked
+    along a leading pairs axis — the vmappable form register_batch
+    feeds through the step's ``band`` argument (VERDICT r3 #4: the
+    banded engine composed with batch mode; the reference's one scaling
+    mechanism works for every caller,
+    ref:src/super4pcs/algorithms/super4pcs.h:33-45).
+
+    ``q_pos_list``: per-pair (centered, possibly sentinel-padded) Q
+    positions, all with the same row count (the batch pads first).
+    Sentinel rows (|x| >= ops.lcp.Q_PAD) are EXCLUDED from the index —
+    they can never appear in a member list, so banded extraction never
+    emits a sentinel pair (stronger than the rowcap path's "sentinels
+    waste capacity" caveat; also keeps the host bucketing's packed
+    int64 voxel keys finite). member_dropped is summed over pairs.
+    """
+    from .lcp import Q_PAD
+    qs = [np.asarray(q, np.float32) for q in q_pos_list]
+    n = qs[0].shape[0]
+    assert all(q.shape[0] == n for q in qs), "batch must pad Q first"
+    reals = [q[np.abs(q[:, 0]) < Q_PAD] for q in qs]
+    # point ids must refer to the PADDED row space (extraction gathers
+    # from the padded Q arrays): bucket the real prefix, clamp to n
+    assert all(len(r) > 0 for r in reals), "all-sentinel Q cloud"
+    # cheap host pre-pass to find the shared padded shape
+    buckets = [_host_bucket(q, delta, cell_budget) for q in reals]
+    m_cap = max(len(c) for (_, c, _, _, _) in buckets)
+    pc_cap = int(min(max(max(int(c.max()) for (_, c, _, _, _) in buckets),
+                         1), 32))
+    idxs = [build_band_index(q, delta, cell_budget, pc=pc_cap,
+                             m_pad=m_cap, n_override=n) for q in reals]
+    # static meta is part of the treedef — normalize the per-pair
+    # fields before stacking (restored as batch aggregates after)
+    dropped = sum(i.member_dropped for i in idxs)
+    m_real = max(i.m_real for i in idxs)
+    idxs = [dataclasses.replace(i, member_dropped=0, m_real=0)
+            for i in idxs]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *idxs)
+    return dataclasses.replace(
+        stacked, member_dropped=dropped, m_real=m_real)
 
 
 def _pair_dist(idx: BandIndex, t):

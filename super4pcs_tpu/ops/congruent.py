@@ -35,6 +35,8 @@ unaffected. Divergence decided per SURVEY.md §3.3/§7 hard-part (d).
 
 from __future__ import annotations
 
+import math as _math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -268,7 +270,8 @@ def find_congruent_quads_grid(
     pair-buffer capacity. Since the Q samples are pre-shuffled
     (ref:match4pcsBase.hpp:129-132), the first ``q_budget`` valid slots
     are a uniform random subsample of the pair set; skipped pairs are
-    counted in ``dropped`` (x w^3, in probe units).
+    reported in the separate ``q_subsampled`` return (x w^3, in probe
+    units) — intentional subsampling, not capacity pressure.
 
     Same contract as :func:`find_congruent_quads` (the dense oracle),
     plus a second returned count of per-cell/budget overflow drops.
@@ -308,7 +311,7 @@ def find_congruent_quads_grid(
     of first endpoints — starving the probe side of diversity is what
     drove the measured nq=2500 registration failure.
 
-    Returns (quads, valid, count, dropped).
+    Returns (quads, valid, count, dropped, q_subsampled).
     """
     r = distance_threshold
     cell = cell_size if cell_size is not None else 2.0 * r
@@ -411,7 +414,15 @@ def find_congruent_quads_grid(
     # enumeration has no first-endpoint diversity)
     qb = min(q_budget or 8192, k2)
     if q_uniform:
+        # stride must be coprime with k2 or the walk's period collapses:
+        # at power-of-two nq (k2 = nq^2) the raw k2 // qb shares a large
+        # factor with k2 and sel2 % nq takes only nq/gcd distinct values
+        # — every probe pair ends at a handful of second endpoints,
+        # reintroducing the endpoint starvation q_uniform exists to fix.
+        # k2 and qb are static shapes, so the adjustment is host-side.
         stride = max(k2 // qb, 1)
+        while _math.gcd(stride, k2) != 1:
+            stride += 1
         rot = (jnp.int32(0) if q_rot is None
                else jnp.asarray(q_rot, jnp.int32))
         sel2 = (jnp.arange(qb, dtype=jnp.int32) * stride + rot) % k2
@@ -586,10 +597,14 @@ def find_congruent_quads_grid(
         q1 = pairs1[orid_sel]
     q2 = pairs2b[qi[sel % qi.shape[0]]]
     quads = jnp.concatenate([q1, q2], axis=-1)
-    # overflow accounting: per-cell cap drops, whole cells lost to the
-    # probe budget, and pairs beyond the Q budget (x n_probe = w^3
-    # probe units)
+    # overflow accounting: per-cell cap drops and whole cells lost to
+    # the probe budget stay in ``dropped`` (genuine capacity pressure);
+    # pairs beyond the Q budget (x n_probe = w^3 probe units) are the
+    # INTENTIONAL per-trial subsampling volume and are reported
+    # separately — folding them together swamps the cap-pressure signal
+    # the telemetry exists to expose (in allpairs scale mode the
+    # subsample term alone is ~w^3 * (nq^2 - qb) per base per step).
     dropped = jnp.sum(jnp.maximum(counts - L, 0), dtype=jnp.int32)
     dropped += total_cells - kept_cells
-    dropped += n_probe * jnp.maximum(n2 - qb, 0)
-    return quads.astype(jnp.int32), valid, count, dropped
+    q_subsampled = n_probe * jnp.maximum(n2 - qb, 0)
+    return quads.astype(jnp.int32), valid, count, dropped, q_subsampled

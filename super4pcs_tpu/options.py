@@ -107,7 +107,9 @@ class Options:
     #: (valid) Q-side pairs are probed per base (``None`` -> all, up to
     #: 8192). Q samples are pre-shuffled, so the budgeted subset is a
     #: uniform random subsample; skipped pairs are counted in
-    #: stats["cell_dropped"] (x w^3 probe units, w = the join's probe window).
+    #: stats["q_sampled_out"] (x w^3 probe units, w = the join's probe
+    #: window) — intentional subsampling, reported apart from the
+    #: capacity-pressure counter stats["cell_dropped"].
     join_q_budget: Optional[int] = None
     #: Probe budget of the grid join on the large-nq (> 2048) path:
     #: the 8 corner probes per Q-side pair are compacted to the ones
@@ -212,14 +214,17 @@ class Options:
     #: benchmark: the failing seed went from exhausting 144 trials at
     #: LCP 0.45 to 0.99 within the escalated estimate), while lucky
     #: seeds never pay the ~3x coarser step cost. The escalated
-    #: program's XLA compile (~5 s warm-cached, ~100 s cold) runs
-    #: inside the anytime budget; escalation is skipped when the
-    #: remaining budget is too small to amortize a warm compile, and
-    #: when refinement is inactive (coarse ranking is only recoverable
-    #: through the guarded refine — see search_delta_factor). Caveat: a
-    #: COLD persistent cache (first-ever escalation of a given shape on
-    #: a machine) can overrun max_time_seconds by the one-time ~100 s
-    #: compile; later runs hit the cache. Values <= the active
+    #: program's XLA compile runs on a WORKER THREAD concurrently with
+    #: the search (started with the base compile): escalation itself is
+    #: a pointer swap, and if the compile is still in flight the loop
+    #: keeps searching at the current factor instead of blocking — the
+    #: wall-clock budget holds on every seed, cold cache or warm
+    #: (stats["escalation_compile_seconds"] is the in-clock cost, 0 by
+    #: construction; the concurrent compile time is reported in
+    #: stats["escalation_bg_compile_seconds"]). Escalation requires
+    #: active refinement (coarse ranking is only recoverable through
+    #: the guarded refine — see search_delta_factor) and is skipped in
+    #: the last 5% of the wall budget. Values <= the active
     #: search_delta_factor disable escalation.
     search_escalation_factor: float = 2.0
     #: Trimmed-ICP refinement iterations applied to every new best
@@ -240,6 +245,18 @@ class Options:
     #: Q / P subsample targets of the coarse ranking stage.
     coarse_q: int = 64
     coarse_p: int = 2048
+    #: Anytime steps fused into one device dispatch with an in-device
+    #: early exit on the terminate threshold (matcher.build_multi_step).
+    #: ``None`` auto-selects 8 at nq <= 1024 — the dispatch-bound
+    #: regime where a tunneled host<->device round trip (~100 ms)
+    #: dwarfs the step's device compute and the unfused anytime loop is
+    #: pure latency (the reference's own n=200 demo configs; measured:
+    #: hippo time-to-LCP>=0.7 0.675 s unfused vs the serial CPU's
+    #: 0.24 s) — and 1 elsewhere. Forced to 1 on sharded runs and at
+    #: search_delta_factor != 1. The wall clock is checked between
+    #: dispatches; the trial budget still binds per STEP (the dispatch
+    #: depth is a traced argument clipped to the remaining estimate).
+    steps_per_dispatch: Optional[int] = None
     #: Pin the sampled-P point count to exactly this value (truncating
     #: by random choice / repeat-padding as needed). P-shape stability
     #: means ONE compiled step program serves clouds of any size — the

@@ -58,7 +58,8 @@ from jax import shard_map
 from ..cloud import PointCloud
 from ..matcher import (RegistrationResult, build_step, _K_SMALL_ERROR,
                        _K_MIN_TRIALS, _K_DIAMETER_FRACTION,
-                       resolve_bases_per_step)
+                       resolve_bases_per_step, resolve_pair_engine)
+from ..ops.band_extract import build_batched_band_index
 from ..options import Options, K_NUMBER_OF_DIAMETER_TRIALS
 from ..ops import geometry, lcp, refine, sampling
 from ..visitor import DummyTransformVisitor, visitor_needs_global
@@ -93,8 +94,16 @@ def _zero_pad(a: np.ndarray, n: int, value: float) -> np.ndarray:
 
 def _prep(cloud: PointCloud, opts: Options, truncate: bool,
           rng: np.random.Generator):
+    # scale mode caps the Q sample exactly like the single-pair matcher
+    # (Options.scale_max_q): without the cap an estimate_scale batch
+    # with sample_size > 2048 would auto-select the allpairs engine per
+    # vmapped pair — G * B * nq^2 implicit table rows, an HBM OOM at
+    # modest batch sizes. P keeps its full sample (truncate=False).
+    target = opts.sample_size
+    if truncate and opts.estimate_scale and target > opts.scale_max_q:
+        target = opts.scale_max_q
     sampled = sampling.sample_for_matching(
-        cloud, opts.delta, opts.sample_size, truncate=truncate, rng=rng)
+        cloud, opts.delta, target, truncate=truncate, rng=rng)
     centroid = sampled.pos.mean(axis=0)
     return sampled, centroid
 
@@ -185,9 +194,22 @@ def register_batch(
                    _K_MIN_TRIALS)
 
     tc = time.perf_counter()
-    step, (k_pairs, k_quads, _) = build_step(opts, nq_max, cone_tol)
+    # banded x batch (the reference's one scaling mechanism works for
+    # every caller, ref:src/super4pcs/algorithms/super4pcs.h:33-45):
+    # when the resolved engine for nq_max is "banded", build per-pair
+    # band indexes padded to one shared shape and vmap the step over
+    # them — no more silent rowcap downgrade (which is measured to OOM
+    # past nq=32768, BASELINE.md r3).
+    band_b = None
+    if resolve_pair_engine(opts, nq_max) == "banded":
+        band_b = build_batched_band_index(
+            [q_pos[i] for i in range(g)], opts.delta,
+            cell_budget=opts.band_cell_budget)
+    step, (k_pairs, k_quads, _) = build_step(opts, nq_max, cone_tol,
+                                             band_index=band_b)
     vstep = jax.vmap(step)
     n_procs = jax.process_count()
+    n_in = 8 if band_b is None else 9
 
     if mesh is not None:
         pspec = P(PAIRS_AXIS)
@@ -202,7 +224,7 @@ def register_batch(
                 local)
 
         inner = shard_map(spmd, mesh=mesh,
-                          in_specs=(pspec,) * 8, out_specs=P(),
+                          in_specs=(pspec,) * n_in, out_specs=P(),
                           check_vma=False)
     else:
         inner = vstep
@@ -225,13 +247,18 @@ def register_batch(
         from jax.sharding import NamedSharding
         sh = NamedSharding(mesh, P(PAIRS_AXIS))
 
-        def d(x):
-            x = np.asarray(x, np.float32)
+        def dev(x):
+            x = np.asarray(x)       # dtype-preserving (band int32 leaves)
             return jax.make_array_from_callback(
                 x.shape, sh, lambda idx: x[idx])
+
+        d = lambda x: dev(np.asarray(x, np.float32))
     else:
+        dev = lambda x: jnp.asarray(x)
         d = lambda x: jnp.asarray(x, jnp.float32)
     arrays = (d(p_pos), d(p_norm), d(p_rgb), d(q_pos), d(q_norm), d(q_rgb))
+    if band_b is not None:
+        arrays = arrays + (jax.tree.map(dev, band_b),)
     diam_dev = d(diams)
     key_data = np.asarray(jax.random.key_data(
         jax.random.key(opts.random_seed)))
@@ -270,7 +297,7 @@ def register_batch(
     improved = np.zeros(g, bool)
     counters = {name: np.zeros(g, np.int64) for name in
                 ("pairs_overflow", "quads_overflow", "cands_overflow",
-                 "n_congruent", "cell_dropped")}
+                 "n_congruent", "cell_dropped", "q_sampled_out")}
     trial = 0
     step_idx = 0
     if resume_state is not None:
@@ -281,8 +308,9 @@ def register_batch(
             best[name] = np.asarray(resume_state[name],
                                     np.float32).copy()
         for name in counters:
-            counters[name] = np.asarray(
-                resume_state["counters"][name], np.int64).copy()
+            if name in resume_state["counters"]:
+                counters[name] = np.asarray(
+                    resume_state["counters"][name], np.int64).copy()
 
     def global_mats():
         mats = np.tile(np.eye(4, dtype=np.float32), (g, 1, 1))
@@ -320,14 +348,15 @@ def register_batch(
             best[name][upd] = vals[upd]
 
         # same dropped-ITEM accounting as the single-pair matcher,
-        # kept per pair. pair_counts: (G, B, 5) = (c1, c2, qcount,
-        # cell_dropped, pairs_dropped)
+        # kept per pair. pair_counts: (G, B, 6) = (c1, c2, qcount,
+        # cell_dropped, pairs_dropped, q_sampled_out)
         counts = np.asarray(out["pair_counts"])
         counters["n_congruent"] += np.asarray(out["n_congruent"])
         counters["pairs_overflow"] += counts[:, :, 4].sum(axis=1)
         counters["quads_overflow"] += np.maximum(
             counts[:, :, 2] - k_quads, 0).sum(axis=1)
         counters["cell_dropped"] += counts[:, :, 3].sum(axis=1)
+        counters["q_sampled_out"] += counts[:, :, 5].sum(axis=1)
         counters["cands_overflow"] += np.asarray(out["cands_dropped"])
 
         if rank_best is not None:
@@ -461,6 +490,9 @@ def register_batch(
             q_padded=int(nq_max - nq_real[i]),
             batch_state=batch_state,
         )
+        if band_b is not None:
+            stats.update(band_cells=band_b.m,
+                         band_member_dropped=band_b.member_dropped)
         results.append(RegistrationResult(
             score=float(best["lcp"][i]), transform=mat,
             transformed_q=moved, n_trials=trial,

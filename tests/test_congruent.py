@@ -104,7 +104,7 @@ def test_grid_join_matches_dense(rng):
                 jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
                 inv1, inv2, thr, 0.25, cone)
         qd, vd, cd = congruent.find_congruent_quads(*args, capacity=16384)
-        qg, vg, cg, dropped = congruent.find_congruent_quads_grid(
+        qg, vg, cg, dropped, _ = congruent.find_congruent_quads_grid(
             *args, capacity=16384, cell_candidates=64)
         dense = {tuple(x) for x, v in zip(np.asarray(qd), np.asarray(vd))
                  if v}
@@ -130,7 +130,7 @@ def test_grid_join_windowed_cells_match_dense(rng):
     dense = {tuple(x) for x, v in zip(np.asarray(qd), np.asarray(vd))
              if v}
     for cell in (0.3, 0.2, 0.11):          # w = 3, 4, 7
-        qg, vg, cg, dropped = congruent.find_congruent_quads_grid(
+        qg, vg, cg, dropped, _ = congruent.find_congruent_quads_grid(
             *args, capacity=16384, cell_candidates=64, cell_size=cell)
         grid = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg))
                 if v}
@@ -157,9 +157,9 @@ def test_grid_join_row_cap_layout_parity(rng):
                 jnp.asarray(pairs1), jnp.asarray(valid1),
                 jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
                 0.42, 0.58, 0.15, 0.25, cone)
-        qg, vg, cg, dg = congruent.find_congruent_quads_grid(
+        qg, vg, cg, dg, _ = congruent.find_congruent_quads_grid(
             *args, capacity=16384, cell_candidates=64)
-        ql, vl, cl, dl = congruent.find_congruent_quads_grid(
+        ql, vl, cl, dl, _ = congruent.find_congruent_quads_grid(
             *args, capacity=16384, cell_candidates=64, row_cap=row_cap)
         generic = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg))
                    if v}
@@ -180,11 +180,11 @@ def test_grid_join_probe_budget(rng):
             jnp.asarray(pairs1), jnp.ones(len(pairs1), bool),
             jnp.asarray(pairs2), jnp.ones(len(pairs2), bool),
             0.42, 0.58, 0.15, 0.25, 0.3)
-    qg, vg, cg, dg = congruent.find_congruent_quads_grid(
+    qg, vg, cg, dg, _ = congruent.find_congruent_quads_grid(
         *args, capacity=16384, cell_candidates=64)
     full = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg)) if v}
     # ample: 8 probes per pair2 always fits
-    qa, va, ca, da = congruent.find_congruent_quads_grid(
+    qa, va, ca, da, _ = congruent.find_congruent_quads_grid(
         *args, capacity=16384, cell_candidates=64,
         probe_budget=8 * len(pairs2))
     ample = {tuple(x) for x, v in zip(np.asarray(qa), np.asarray(va))
@@ -192,7 +192,7 @@ def test_grid_join_probe_budget(rng):
     assert ample == full
     assert int(ca) == int(cg) and int(da) == int(dg)
     # tight: some non-empty cells dropped, every drop counted
-    qt, vt, ct, dt = congruent.find_congruent_quads_grid(
+    qt, vt, ct, dt, _ = congruent.find_congruent_quads_grid(
         *args, capacity=16384, cell_candidates=64, probe_budget=32)
     tight = {tuple(x) for x, v in zip(np.asarray(qt), np.asarray(vt))
              if v}
@@ -217,7 +217,7 @@ def test_healpix_mode_grid_matches_dense(rng):
                   healpix_samples=32)
         qd, vd, cd = congruent.find_congruent_quads(
             *args, capacity=16384, **kw)
-        qg, vg, cg, dropped = congruent.find_congruent_quads_grid(
+        qg, vg, cg, dropped, _ = congruent.find_congruent_quads_grid(
             *args, capacity=16384, cell_candidates=64, **kw)
         dense = {tuple(x) for x, v in zip(np.asarray(qd), np.asarray(vd))
                  if v}
@@ -270,7 +270,7 @@ def test_grid_join_cell_overflow_counted(rng):
     # all invariant points collapse to one cell
     pos = np.zeros((64, 3), np.float32)
     pairs = np.stack([np.arange(32), np.arange(32) + 32], 1).astype(np.int32)
-    q, v, c, dropped = congruent.find_congruent_quads_grid(
+    q, v, c, dropped, _ = congruent.find_congruent_quads_grid(
         jnp.asarray(pos), jnp.asarray(pairs), jnp.ones(32, bool),
         jnp.asarray(pairs), jnp.ones(32, bool),
         0.5, 0.5, 0.1, 0.0, -1.0, capacity=4096, cell_candidates=4)
@@ -310,7 +310,7 @@ def test_scale_band_gate_dense_and_grid(rng):
     assert set_on == expected
     assert set_on < set_off        # the gate actually removed something
 
-    qg, vg, _, dropped = congruent.find_congruent_quads_grid(
+    qg, vg, _, dropped, _qs = congruent.find_congruent_quads_grid(
         *args, capacity=16384, cell_candidates=64,
         seg_ratio=seg_ratio, scale_band=band)
     grid = {tuple(x) for x, v in zip(np.asarray(qg), np.asarray(vg)) if v}

@@ -407,7 +407,11 @@ def test_search_escalation_on_trial_exhaustion(rng, make_transform):
     res = m.compute_transformation(
         PointCloud(pos=pos), PointCloud(pos=q))
     assert res.stats.get("escalated_to") == 2.0
-    assert res.stats["escalation_compile_seconds"] > 0
+    # zero-blocking contract (VERDICT r3 #1): escalation swaps in a
+    # program compiled on a worker thread concurrently with the search;
+    # the anytime clock never pays for the compile
+    assert res.stats["escalation_compile_seconds"] == 0.0
+    assert res.stats["escalation_bg_compile_seconds"] > 0
     # escalated state round-trips through checkpoint export
     state = m.export_state()
     assert state["search_sf"] == 2.0
@@ -531,6 +535,14 @@ def test_phase_timing_breakdown(rng, make_transform):
     assert phases["select_extract"] <= phases["step_total"] * 3
     assert res.stats["initial_verify_seconds"] > 0.0
     assert res.improved
+    # roofline attribution rides the same probes (VERDICT r3 #2): every
+    # phase carries achieved rates, a bound class and the headroom
+    roof = res.stats["phase_roofline"]
+    assert set(roof) == {"select_extract", "join", "fit", "verify"}
+    for r in roof.values():
+        assert r["bound"] in ("compute", "memory", "dispatch")
+        assert r["gflops"] >= 0.0 and r["gbps"] >= 0.0
+        assert r["headroom_x"] > 0.0
 
 
 def test_auto_bases_per_step(rng, make_transform):

@@ -267,3 +267,50 @@ def test_batch_straggler_escalation(rng, make_transform):
     rot_diff, tr_diff = rot_tr_diff(results[1].transform, mat_h)
     assert rot_diff <= 0.2 and tr_diff <= 0.1, (
         rot_diff, tr_diff, results[1].score)
+
+
+def test_register_batch_banded_engine(rng, make_transform):
+    """Banded x batch composition (VERDICT r3 #4): forcing the banded
+    pair engine in a ragged batch must register every pair — per-pair
+    band indexes are padded to one shared shape and vmapped through the
+    step (no silent rowcap downgrade). Quality must match the
+    single-pair banded matcher on the same pair/seed."""
+    pos_a, q_a, mat_a = make_pair(rng, make_transform, n=140)
+    pos_b, q_b, mat_b = make_pair(rng, make_transform, n=90)
+    opts = Options(delta=0.05, sample_size=140, max_time_seconds=60,
+                   bases_per_step=4, max_quads=512, max_candidates=512,
+                   random_seed=5, pair_engine="banded",
+                   ).configure_overlap(0.9)
+    results = register_batch(
+        [(PointCloud(pos=pos_a), PointCloud(pos=q_a)),
+         (PointCloud(pos=pos_b), PointCloud(pos=q_b))], opts)
+    assert results[1].stats["q_padded"] > 0
+    assert results[0].stats["band_cells"] > 0
+    for res, mat in zip(results, (mat_a, mat_b)):
+        assert res.score > 0.8, res.score
+        rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+        assert rot_diff <= 0.2 and tr_diff <= 0.1
+
+    # parity vs the single-pair banded matcher on pair a
+    single = MatchSuper4PCS(opts).compute_transformation(
+        PointCloud(pos=pos_a), PointCloud(pos=q_a))
+    assert abs(single.score - results[0].score) < 0.1
+
+
+def test_register_batch_banded_sharded(rng, make_transform):
+    """Banded x batch x mesh: the batched band index shards along the
+    pairs axis with the clouds."""
+    prs, mats = [], []
+    for i in range(8):
+        pos, q, mat = make_pair(rng, make_transform, n=100)
+        prs.append((PointCloud(pos=pos), PointCloud(pos=q)))
+        mats.append(mat)
+    opts = Options(delta=0.05, sample_size=100, max_time_seconds=60,
+                   bases_per_step=4, max_quads=512, max_candidates=512,
+                   random_seed=3, pair_engine="banded",
+                   ).configure_overlap(0.9)
+    results = register_batch(prs, opts, mesh=make_mesh(axis="pairs"))
+    ok = sum(1 for res, mat in zip(results, mats)
+             if res.score > 0.8
+             and max(rot_tr_diff(res.transform, mat)) <= 0.2)
+    assert ok >= 7, [r.score for r in results]
