@@ -210,7 +210,17 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                         * max(opts.search_delta_factor, 1.0)), 512)), 128)
     k_quads = _round_up(
         opts.max_quads or min(max(8 * nq, 512), 8192), 128)
-    n_cands = min(opts.max_candidates or opts.bases_per_step * k_quads,
+    # Default candidate budget: a real COMPACTION cap, not the slot
+    # count. b * k_quads slots are mostly invalid every step (validity
+    # is data-dependent; the buffers are static), and the lossless
+    # default made the step skip compaction and coarse-score every
+    # slot — at the reference's own demo scale that was 112 GFLOP of
+    # ~97%-invalid verify work per step (measured: verify 0.086 s of a
+    # 0.31 s hippo step). 8x the exact-rank budget keeps the coarse
+    # stage meaningful while the drop telemetry (cands_overflow)
+    # reports any step that actually fills it.
+    n_cands = min(opts.max_candidates
+                  or max(4096, 8 * max(opts.verify_top_k, 0)),
                   opts.bases_per_step * k_quads)
 
     cfg = PairFilterConfig(
@@ -1175,11 +1185,20 @@ class Match4PCSBase:
         # current factor instead of blocking — the wall-clock contract
         # (fraction_time >= 0.99 stop) holds on every seed by
         # construction.
+        #
+        # The compile is armed LAZILY (the first time a loop observes
+        # fraction_try >= _ESC_ARM_FRACTION without having hit the
+        # threshold), not at search start: most runs terminate within
+        # the first dispatches, and an always-on speculative compile
+        # (a) wastes a full program build per run and (b) contends
+        # with the search's device RPCs on a tunneled backend
+        # (measured: hippo-scale runs stalling minutes in PJRT
+        # teardown behind an orphaned in-flight compile).
         self._esc_prep = None
-        if (opts.search_escalation_factor > self._search_sf
-                and self._refine_active()):
-            self._esc_prep = self._start_escalation_compile(
-                opts.search_escalation_factor, args)
+        self._esc_args = args
+        self._esc_enabled = (
+            opts.search_escalation_factor > self._search_sf
+            and self._refine_active())
 
         if opts.phase_timing:
             self._measure_phases(args)
@@ -1289,6 +1308,7 @@ class Match4PCSBase:
                     or fraction_time >= 0.99
                     or self._best_lcp == 1.0):
                 break
+            self._maybe_arm_escalation(fraction_try)
             if fraction_try >= 0.99 or self._trial > self._trial_budget:
                 # trial estimate exhausted below the threshold: escalate
                 # the search factor when configured (see
@@ -1411,18 +1431,47 @@ class Match4PCSBase:
                     or fraction_time >= 0.99
                     or self._best_lcp == 1.0):
                 return True
+            self._maybe_arm_escalation(fraction_try)
             if fraction_try >= 0.99 or self._trial > self._trial_budget:
-                if opts.use_full_time_budget and self._esc_prep is None:
+                # a fused dispatch can jump straight past exhaustion
+                # (k_lim steps at once): make sure the compile is armed
+                # before handing the caller an escalation decision
+                self._maybe_arm_escalation(1.0)
+                if (opts.use_full_time_budget
+                        and self._esc_prep is None):
                     continue
                 return False
 
+    #: fraction of the trial budget burned below the threshold before
+    #: the speculative escalation compile is armed — early enough that
+    #: a warm (~2-5 s) compile finishes well before exhaustion, late
+    #: enough that runs solving in the first dispatches never pay it
+    _ESC_ARM_FRACTION = 0.35
+
+    def _maybe_arm_escalation(self, fraction_try: float):
+        """Arm the background escalation compile once the run has burned
+        ``_ESC_ARM_FRACTION`` of its trial budget below the threshold
+        (see _perform_steps: lazy arming)."""
+        if (self._esc_prep is None and self._esc_enabled
+                and fraction_try >= self._ESC_ARM_FRACTION):
+            self._esc_prep = self._start_escalation_compile(
+                self.options.search_escalation_factor, self._esc_args)
+
     def _start_escalation_compile(self, esc: float, args):
         """Build + compile the escalated-factor step and refine programs
-        on a daemon thread, concurrently with the search (the anytime
+        on a worker thread, concurrently with the search (the anytime
         clock never pays for them). Returns a holder dict the loop
         polls: {"done": Event, "step", "refine", "caps",
         "compile_seconds"} or {"error"} on failure. The thread only
-        reads state captured here — it never mutates the matcher."""
+        reads state captured here — it never mutates the matcher.
+
+        The thread is NON-daemon: if the search terminates while the
+        compile is in flight, interpreter shutdown waits for it instead
+        of killing it mid-RPC (a daemon thread inside a PJRT compile
+        call aborts finalization — and the persistent-cache entry the
+        compile was about to write would be lost, so every later run
+        would repeat the cold compile). The wait happens after results
+        are delivered and only when escalation was armed but unused."""
         import threading
 
         holder = {"done": threading.Event(), "error": None, "esc": esc}
@@ -1456,7 +1505,7 @@ class Match4PCSBase:
             finally:
                 holder["done"].set()
 
-        threading.Thread(target=work, daemon=True,
+        threading.Thread(target=work, daemon=False,
                          name="super4pcs-escalation-compile").start()
         return holder
 
@@ -1470,6 +1519,7 @@ class Match4PCSBase:
                             self._best_lcp,
                             "; escalating search_delta_factor to ", esc)
         self._search_sf = esc
+        self._esc_enabled = False     # one escalation per run
         self._step_fn = prep["step"]
         self._refine_jit = prep["refine"]
         self._k_pairs, self._k_quads, self._n_cands = prep["caps"]

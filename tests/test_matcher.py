@@ -576,6 +576,47 @@ def test_auto_bases_per_step(rng, make_transform):
     assert res.improved and res.score > 0.8
 
 
+def test_fused_dispatch_matches_unfused(rng, make_transform):
+    """The fused K-step dispatch (matcher.build_multi_step) must explore
+    THE SAME trials as the unfused anytime loop: per-step keys are
+    fold_in(key, step_idx) in both, the in-device guarded polish applies
+    the host loop's decision rule, and the early exit mirrors the host
+    stop rules — so a fused run and an unfused run of one config land
+    the same registration."""
+    from super4pcs_tpu.matcher import resolve_steps_per_dispatch
+
+    o = Options()
+    assert resolve_steps_per_dispatch(o, 512) == 8      # toy scale
+    assert resolve_steps_per_dispatch(o, 4096) == 1     # step-bound
+    assert resolve_steps_per_dispatch(o, 512, mesh_size=4) == 1
+    assert resolve_steps_per_dispatch(
+        o.replace(search_delta_factor=2.0), 512) == 1
+
+    pos = bumpy_cloud(rng, 150)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q_pos = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    base = Options(delta=0.05, sample_size=150, max_time_seconds=60,
+                   max_quads=512, max_candidates=1024,
+                   random_seed=7).configure_overlap(0.9)
+
+    m_fused = MatchSuper4PCS(base)
+    res_fused = m_fused.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q_pos))
+    assert m_fused._multi_fn is not None        # fused path active
+
+    m_plain = MatchSuper4PCS(base.replace(steps_per_dispatch=1))
+    res_plain = m_plain.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q_pos))
+    assert m_plain._multi_fn is None            # per-step path active
+
+    assert res_fused.n_trials == res_plain.n_trials
+    assert abs(res_fused.score - res_plain.score) < 1e-3, (
+        res_fused.score, res_plain.score)
+    np.testing.assert_allclose(res_fused.transform, res_plain.transform,
+                               atol=1e-3)
+
+
 def test_similarity_refinement_recovers_scale(rng, make_transform):
     """In estimate_scale mode the trimmed ICP uses the Umeyama
     similarity fit: on a noisy scaled pair the guarded refine lifts the

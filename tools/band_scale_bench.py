@@ -130,7 +130,7 @@ for engine in ENGINES:
     if bidx is not None:
         row["index_build_s"] = round(build_s, 3)
         row["band_cells"] = bidx.m
-        row["cell_size"] = round(bidx.g, 5)
+        row["cell_size"] = round(float(bidx.g), 5)
         row["pc"] = bidx.pc
         row["member_dropped"] = bidx.member_dropped
     out["engines"][engine] = row
