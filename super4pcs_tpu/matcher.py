@@ -40,6 +40,7 @@ from .cloud import PointCloud
 from .options import (Options, DISTANCE_FACTOR, K_LARGE_NUMBER,
                       K_NUMBER_OF_DIAMETER_TRIALS)
 from .ops import congruent, geometry, lcp, refine, sampling, select
+from .kernels import rowcap_pallas
 from .ops.band_extract import build_band_index, extract_pairs_banded
 from .ops.masking import masked_indices
 from .ops.pairs import (PairFilterConfig, extract_pairs,
@@ -131,11 +132,21 @@ def resolve_pair_engine(opts: Options, nq: int,
             return "dense" if nq <= 2048 else "allpairs"
         # thresholds measured on TPU v5 lite (tools/band_scale_bench):
         # at nq=32768 rowcap is 1.5x faster per step (5.8 s vs 8.7 s);
-        # at nq=65536 rowcap's approx-top-k OOMs HBM (19.5 G > 15.75 G)
-        # while banded runs at 16.8 s/step — banded is the only engine
-        # past 32k, not the fastest at 32k
+        # at nq=65536 the XLA rowcap's approx-top-k OOMs HBM (19.5 G >
+        # 15.75 G) while banded runs 16.8 s/step. The PALLAS band
+        # capture (kernels/rowcap_pallas.py) removes that OOM (no
+        # materialized planes: 16-base capture 3.3 s at nq=65536 vs
+        # banded's 8.3 s extraction + 46 s index build), so when it
+        # applies (pure distance-band config) rowcap carries to 65536.
+        pallas_ok = (opts.rowcap_kernel != "xla"
+                     and rowcap_pallas.supported(nq)
+                     and opts.max_normal_difference <= 0
+                     and opts.max_color_distance <= 0
+                     and opts.max_translation_distance <= 0
+                     and opts.max_angle <= 0)
+        rowcap_top = 65536 if pallas_ok else 32768
         e = ("dense" if nq <= 2048
-             else ("rowcap" if nq <= 32768 else "banded"))
+             else ("rowcap" if nq <= rowcap_top else "banded"))
     if e == "banded" and not have_band_index:
         e = "rowcap" if nq > 2048 else "dense"
     return e
@@ -270,6 +281,7 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     # row_offset) — with the distance filter off, overflow capture bias
     # is systematic, not incidental
     rotate_dense = opts.estimate_scale
+    use_pk = False      # Pallas rowcap kernel; set on the rowcap branch
 
     if engine == "dense":
         join_row_cap = None
@@ -354,13 +366,38 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     else:
         join_row_cap = opts.pair_row_cap or min(nq, max(32, _round_up(
             5 * k_pairs // (2 * nq), 32)))
-        # fused two-edge scan: shared block geometry, one approx_max_k
-        _extract_rowcap = functools.partial(
-            extract_pairs_rowcap_layout_both, row_cap=join_row_cap,
-            recall_target=opts.pair_recall_target)
+        # Pallas band-capture kernel (kernels/rowcap_pallas.py) when
+        # the config is pure-distance-band: the XLA path's
+        # approx_max_k custom call materializes every block's key
+        # plane + iota to HBM (measured 1.29 TB per device step at
+        # nq=32768, b=16 — the real cost behind BASELINE r4's
+        # "join memory-bound at 6% of peak"); the kernel keeps the
+        # Theta(nq^2) evaluation in VMEM and writes only the capture
+        # tables. Capture rule is segment-stratified (uniform over the
+        # column range) instead of first-row_cap-in-rotated-order —
+        # per-row counts stay exact, drops stay counted.
+        use_pk = (opts.rowcap_kernel != "xla"
+                  and rowcap_pallas.supported(nq)
+                  and not opts.estimate_scale
+                  and opts.max_normal_difference <= 0
+                  and opts.max_color_distance <= 0
+                  and opts.max_translation_distance <= 0
+                  and opts.max_angle <= 0)
+        if use_pk:
+            join_row_cap = rowcap_pallas.slots_for(nq, join_row_cap)
 
-        def _extract_both(*a, col_offset=None, band=None):
-            return _extract_rowcap(*a, col_offset=col_offset)
+            def _extract_both(pos, normal, rgb, bpos, bnorm, brgb,
+                              eps, pcfg, col_offset=None, band=None):
+                return rowcap_pallas.extract_pairs_rowcap_pallas_both(
+                    pos, bpos, eps, join_row_cap)
+        else:
+            # fused two-edge scan: shared geometry, one approx_max_k
+            _extract_rowcap = functools.partial(
+                extract_pairs_rowcap_layout_both, row_cap=join_row_cap,
+                recall_target=opts.pair_recall_target)
+
+            def _extract_both(*a, col_offset=None, band=None):
+                return _extract_rowcap(*a, col_offset=col_offset)
 
     def _phase_costs(np_: int) -> dict:
         """First-order FLOPs + HBM bytes per phase of ONE device step
@@ -383,9 +420,18 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
             ex_fl = b * float(ec1 + ec2) * 24.0
             ex_by = b * (float(cp1 + cp2) * (2.0 * pc * 4.0 + 16.0)
                          + float(ec1 + ec2) * 36.0)
-        else:                            # rowcap layout
+        elif use_pk:                     # Pallas band-capture kernel
+            # in-VMEM Theta(nq^2) mask + lane scan; HBM = tables only
+            ex_fl = b * 2 * float(nq) * nq * 25.0
+            ex_by = b * 2 * (float(nq) * join_row_cap * 8.0
+                             + float(nq) * 4.0)
+        else:                            # rowcap layout (approx_max_k)
             ex_fl = b * 2 * float(nq) * nq * 16.0
-            ex_by = b * 2 * (float(nq) * nq
+            # the PartialReduce custom call materializes each block's
+            # f32 key plane + s32 iota (no producer fusion into custom
+            # calls): 16 bytes per (row, col) per edge, dwarfing the
+            # logical reads
+            ex_by = b * 2 * (float(nq) * nq * 16.0
                              + float(nq) * join_row_cap * 8.0)
         k1 = float(nq) * join_row_cap if join_row_cap else float(k_pairs)
         k2_eff = float(k2_cap) if engine == "banded" else k1

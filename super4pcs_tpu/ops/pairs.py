@@ -489,9 +489,21 @@ def _rowcap_scan_edges(pos, normal, rgb, base_pos, base_norm, base_rgb,
             # == ascending ranks)
             keys.append(jnp.where(mask, neg_rank[None, :], -jnp.inf))
             rcs.append(jnp.sum(mask, axis=1, dtype=jnp.int32))
-        vals, cols = jax.lax.approx_max_k(
-            jnp.concatenate(keys, axis=0), row_cap,
-            recall_target=recall_target)
+        # ONE approx_max_k per edge, NOT one call over a concatenated
+        # key tensor: the concatenate materializes every block's
+        # (ne*row_block, n) f32 key plane (plus the reduction's iota)
+        # to HBM — measured via cost_analysis at nq=32768, b=16: the
+        # production step moved 1.29 TB/step, ~95% of it these planes,
+        # and the telescoped probes mis-attributed it to the join.
+        # Per-edge calls keep each plane fused into its own
+        # PartialReduce (the where() producer is elementwise), so only
+        # the (row_block, row_cap) outputs ever touch HBM. Per-row
+        # results are identical (the reduction is row-independent).
+        vc = [jax.lax.approx_max_k(k, row_cap,
+                                   recall_target=recall_target)
+              for k in keys]
+        vals = jnp.concatenate([v for (v, _) in vc], axis=0)
+        cols = jnp.concatenate([c for (_, c) in vc], axis=0)
         return 0, (cols.astype(jnp.int32), vals > -jnp.inf,
                    jnp.stack(rcs))
 

@@ -91,6 +91,15 @@ class Options:
     #: stats["pairs_overflow"], and decorrelated across trials by the
     #: per-base column rotation. On CPU the op is exact regardless.
     pair_recall_target: float = 0.9
+    #: Rowcap extraction backend: "auto" uses the Pallas band-capture
+    #: kernel (kernels/rowcap_pallas.py) on TPU for pure
+    #: distance-band configs — the XLA approx_max_k path materializes
+    #: every block's key plane + iota to HBM (measured 1.29 TB per
+    #: device step at nq=32768), the kernel writes only the capture
+    #: tables. "xla" forces the approx_max_k path (applies the full
+    #: filter set; first-N-in-rotated-order capture instead of the
+    #: kernel's segment-stratified capture).
+    rowcap_kernel: str = "auto"
     #: Cosine tolerance of the Super4PCS pair-direction cone filter. The
     #: reference realizes this filter as a 7^3-bin direction-grid cone
     #: rasterization (ref:accelerators/normalset.hpp:162-210); the bin
@@ -343,6 +352,10 @@ class Options:
             raise ValueError(
                 "pair_engine='allpairs' is the scale-mode engine and "
                 "requires estimate_scale=True")
+        if self.rowcap_kernel not in ("auto", "xla"):
+            raise ValueError(
+                f"rowcap_kernel must be 'auto' or 'xla', got "
+                f"{self.rowcap_kernel!r}")
 
 
 # Constants shared with the reference algorithm core.

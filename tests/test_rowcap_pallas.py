@@ -1,0 +1,109 @@
+"""Pallas rowcap-capture kernel parity (interpreter mode on CPU).
+
+The kernel's contract vs the dense oracle (ops/pairs.extract_pairs
+semantics restricted to the distance band): exact per-row hit COUNTS,
+captured pairs a SUBSET of the oracle band set, and — with ample
+per-segment quotas — exact SET equality. The capture rule is
+segment-stratified (see kernels/rowcap_pallas.py docstring), so slot
+ORDER is not compared.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from super4pcs_tpu.kernels import rowcap_pallas
+from super4pcs_tpu.ops.pairs import PairFilterConfig, extract_pairs
+
+
+def band_oracle(pos, b0, b1, eps):
+    """All ordered (u, v), u != v, with ||q_u - q_v|| in the band."""
+    d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    pd = np.linalg.norm(b0 - b1)
+    lo, hi = max(pd - eps, 0.0), pd + eps
+    m = (d >= lo) & (d <= hi)
+    np.fill_diagonal(m, False)
+    return {(u, v) for u, v in zip(*np.nonzero(m))}, m
+
+
+@pytest.fixture
+def cloud(rng):
+    n = 700
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    bump = 1 + 0.3 * np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
+    pos = (v * bump[:, None]).astype(np.float32)
+    return pos - pos.mean(0)
+
+
+def run_kernel(pos, base, eps, row_cap):
+    rc_eff = rowcap_pallas.slots_for(len(pos), row_cap)
+    return rowcap_pallas.extract_pairs_rowcap_pallas_both(
+        jnp.asarray(pos), jnp.asarray(base), eps, rc_eff,
+        interpret=True), rc_eff
+
+
+def test_counts_and_subset(rng, cloud):
+    base = cloud[rng.choice(len(cloud), 4, replace=False)]
+    eps = 0.05
+    (r1, r2), rc_eff = run_kernel(cloud, base, eps, 16)
+    for (pairs, valid, count, dropped), (e0, e1) in zip(
+            (r1, r2), ((0, 1), (2, 3))):
+        oracle, m = band_oracle(cloud, base[e0], base[e1], eps)
+        assert int(count) == len(oracle)            # exact pre-cap count
+        got = {tuple(p) for p, v in zip(np.asarray(pairs),
+                                        np.asarray(valid)) if v}
+        assert got <= oracle                        # no false pairs
+        assert len(got) + int(dropped) == len(oracle)
+        # stratified capture with a tight cap still lands a healthy
+        # fraction of the set (quota floor is 1 per 512-col segment)
+        assert len(got) >= min(len(oracle), rc_eff * 0.2)
+
+
+def test_exact_set_with_ample_quota(rng, cloud):
+    """Quota >= the worst per-row per-segment occupancy => the capture
+    is lossless and matches the oracle set exactly."""
+    base = cloud[rng.choice(len(cloud), 4, replace=False)]
+    eps = 0.08
+    # worst-case per-row hits bounds per-segment occupancy
+    oracle01, m01 = band_oracle(cloud, base[0], base[1], eps)
+    oracle23, m23 = band_oracle(cloud, base[2], base[3], eps)
+    worst = max(m01.sum(1).max(), m23.sum(1).max())
+    (r1, r2), rc_eff = run_kernel(cloud, base, eps, int(worst) * 4)
+    for (pairs, valid, count, dropped), oracle in zip(
+            (r1, r2), (oracle01, oracle23)):
+        got = {tuple(p) for p, v in zip(np.asarray(pairs),
+                                        np.asarray(valid)) if v}
+        assert got == oracle, (len(got), len(oracle))
+        assert int(dropped) == 0
+
+
+def test_matches_dense_extractor(rng, cloud):
+    """Cross-check against the production dense extractor (the
+    codebase's own oracle) on the same band config."""
+    base = cloud[rng.choice(len(cloud), 4, replace=False)]
+    zeros = np.zeros_like(cloud)
+    negs = np.full_like(cloud, -1.0)
+    eps = 0.06
+    cfg = PairFilterConfig(use_distance_filter=True)
+    (r1, _), rc_eff = run_kernel(cloud, base, eps, 64)
+    pairs_d, valid_d, count_d, _ = extract_pairs(
+        jnp.asarray(cloud), jnp.asarray(zeros), jnp.asarray(negs),
+        jnp.asarray(base), jnp.asarray(zeros[:4]), jnp.asarray(negs[:4]),
+        0, 1, eps, cfg, capacity=len(cloud) * 64)
+    dense = {tuple(p) for p, v in zip(np.asarray(pairs_d),
+                                      np.asarray(valid_d)) if v}
+    pairs, valid, count, dropped = r1
+    assert int(count) == int(count_d)
+    got = {tuple(p) for p, v in zip(np.asarray(pairs),
+                                    np.asarray(valid)) if v}
+    assert got <= dense
+    assert len(got) == len(dense) - int(dropped)
+
+
+def test_slots_rounding():
+    # segments x per-segment quota
+    assert rowcap_pallas.slots_for(8192, 160) == 160     # 16 segs x 10
+    assert rowcap_pallas.slots_for(32768, 160) == 192    # 64 segs x 3
+    assert rowcap_pallas.slots_for(65536, 160) == 256    # 128 segs x 2
+    assert rowcap_pallas.slots_for(700, 16) == 16        # 4 segs x 4
