@@ -225,13 +225,17 @@ def extract_pairs_rowcap_pallas_both(
     cols, rc = _capture(q8t, bands, row_cap=row_cap, n_real=n,
                         interpret=interpret)
 
-    u = jnp.arange(n_pad * row_cap, dtype=jnp.int32) // row_cap
+    # COLS-ONLY table: slot s is the ordered pair (s // row_cap,
+    # cols[s]). The packed (K1, 2) pairs tensor was the join's real
+    # HBM wall after the capture planes were gone (~1.6 TB/step at
+    # nq=32768 through the stack + its fused consumers); the join
+    # accepts the 1-D form directly.
     results = []
     for e in range(2):
         ce = cols[e].reshape(-1)
         valid = ce >= 0
-        pairs = jnp.stack([u, jnp.maximum(ce, 0)], axis=-1)
         count = jnp.sum(rc[e], dtype=jnp.int32)
         found = jnp.sum(valid, dtype=jnp.int32)
-        results.append((pairs, valid, count, count - found))
+        results.append((jnp.maximum(ce, 0), valid, count,
+                        count - found))
     return tuple(results)

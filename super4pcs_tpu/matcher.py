@@ -394,7 +394,7 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
             # fused two-edge scan: shared geometry, one approx_max_k
             _extract_rowcap = functools.partial(
                 extract_pairs_rowcap_layout_both, row_cap=join_row_cap,
-                recall_target=opts.pair_recall_target)
+                recall_target=opts.pair_recall_target, cols_only=True)
 
             def _extract_both(*a, col_offset=None, band=None):
                 return _extract_rowcap(*a, col_offset=col_offset)
@@ -576,8 +576,12 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                     # the allpairs engine has no pair arrays — its
                     # extraction phase is empty by construction)
                     _pairs_sum=(jnp.int32(0) if pairs1 is None else
-                                jnp.sum(pairs1 * v1[:, None])
-                                + jnp.sum(pairs2 * v2[:, None])),
+                                jnp.sum(pairs1 * (v1[:, None]
+                                                  if pairs1.ndim == 2
+                                                  else v1))
+                                + jnp.sum(pairs2 * (v2[:, None]
+                                                    if pairs2.ndim == 2
+                                                    else v2))),
                     _quads_sum=jnp.sum(quads * qvalid[:, None]))
 
     try_base.phase_costs = _phase_costs

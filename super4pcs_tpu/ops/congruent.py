@@ -329,7 +329,19 @@ def find_congruent_quads_grid(
     # TPU layout (3 -> 128), a 64x HBM blowup that OOMs at the
     # fine-delta operating point (measured 21.5 GB for the vmapped
     # invariant-point tensor at K1=2.6M x 16 bases).
-    cols1 = None if allpairs_cols else pairs1[:, 1]
+    # row-capped layouts may pass a 1-D COLS-ONLY table (slot s is the
+    # ordered pair (s // row_cap, cols[s])): the packed (K1, 2) pairs
+    # tensor was pure waste there — the row side is implicit, and the
+    # stack + its fused consumers measured ~1.6 TB of HBM traffic per
+    # step at nq=32768 (cost_analysis; the join's real wall after the
+    # Pallas capture kernel removed the extraction planes)
+    if allpairs_cols:
+        cols1 = None
+    elif pairs1.ndim == 1:
+        assert row_cap is not None, "1-D pairs require row_cap layout"
+        cols1 = pairs1
+    else:
+        cols1 = pairs1[:, 1]
     if row_cap is not None:
         # rows are 0..n_rows-1 in order (n_rows may exceed len(pos) by
         # block padding; those rows are invalid and clamp like gathers)
@@ -433,6 +445,12 @@ def find_congruent_quads_grid(
     if allpairs_cols and pairs2 is None:
         pairs2b = jnp.stack([sel2 // row_cap, sel2 % row_cap],
                             axis=-1).astype(jnp.int32)         # (QB, 2)
+    elif pairs2.ndim == 1:
+        # cols-only row-cap layout: slot s = (s // row_cap, cols[s]);
+        # the full (K2, 2) pack never materializes — only the QB rows
+        # actually probed are assembled here
+        pairs2b = jnp.stack([sel2 // row_cap, pairs2[sel2]],
+                            axis=-1).astype(jnp.int32)         # (QB, 2)
     else:
         pairs2b = pairs2[sel2]                                 # (QB, 2)
     a2 = pos[pairs2b[:, 0]]
@@ -448,61 +466,42 @@ def find_congruent_quads_grid(
     probe = base_cell[:, None, :] + jnp.asarray(_window_offsets(w))
     hq_flat = _cell_hash(probe).reshape(-1)                    # (QB*w^3,)
     n2q = hq_flat.shape[0]
-    total = k1 + 2 * n2q
 
-    # ONE combined sort of table rows and probe boundary queries. Sort
-    # passes are dominated by key compare-exchange, not payload count,
-    # so folding the 2*QB*w^3 boundary queries into the table sort (+20%
-    # rows) is far cheaper than a second rank sort over table+queries
-    # (which jnp.searchsorted(method='sort') needs, plus two full-
-    # length scatters — measured 229 ms per 16-base step vs ~30 ms
-    # marginal here; tools/join_micro.py). The query/table tag lives in
-    # the LOW BIT of a single packed int32 key: group = hash & ~1, tag
-    # 0 (query) < 1 (table) breaks ties queries-first — side='left'
-    # semantics with ONE sort key and no tag payload (a second int32
-    # key adds a full compare per exchange; measured win in
-    # tools/join_micro.py). Clearing the hash's low bit merges cells h
-    # and h^1 into one group — a superset window, removed by the exact
-    # distance mask like any other hash collision. A window that
-    # overruns its cell's contiguous table run into interleaved query
-    # rows is masked exactly below (the slot's sorted key carries the
-    # table tag bit).
+    # Sort the TABLE ONLY, then locate each probe's group range with a
+    # vectorized binary search: log2(k1) rounds of (2*QB*w^3)-sized
+    # gathers against the sorted keys. This replaced the earlier fused
+    # design (boundary queries folded into the sort, ranges rebuilt
+    # with a reverse-cummin + table-rank cumsum + scatter): the fused
+    # form's range machinery alone measured 0.47 s/step at k1=5.2M
+    # (tools/join_phase_micro.py prefix deltas) while the search is a
+    # few ms of small gathers — and dropping the interleaved query
+    # rows shrinks the sort itself, removes the low-bit query/table
+    # tag, the in-window table-tag masking, and the rank translation.
+    # Grouping still clears the hash's low bit (merges cells h and h^1
+    # — a superset window, removed by the exact distance mask like any
+    # other hash collision); sorted positions ARE table ranks, so
+    # counts are direct differences.
     group1 = h1 & ~jnp.int32(1)            # sentinel 0x7fffffff -> ..fe
-    groupq = hq_flat & ~jnp.int32(1)
-    keys = jnp.concatenate([group1 | 1, groupq, groupq + 2])
-
     sk, order = jax.lax.sort(
-        (keys, jnp.arange(total, dtype=jnp.int32)), num_keys=1)
+        (group1, jnp.arange(k1, dtype=jnp.int32)), num_keys=1)
 
-    # run boundaries: within one key group the order is [queries...,
-    # table rows...], and a group's table rows are contiguous — so a
-    # query's window starts at the next table position (reverse cummin)
-    # and ends before the first table position of any later key (its
-    # group+2 twin's window start).
-    is_table = (sk & 1) == 1
-    posn = jnp.arange(total, dtype=jnp.int32)
-    # reverse cummin as flip(cummin(flip(.))) — lax.cummin compiles to
-    # the optimized TPU cumulative path; associative_scan(reverse=True)
-    # over arrays this size hangs the backend compiler (>28 min,
-    # reproduced twice on the axon tunnel)
-    nt = jnp.flip(jax.lax.cummin(
-        jnp.flip(jnp.where(is_table, posn, total))))
-    ctab = jnp.cumsum(is_table.astype(jnp.int32)) \
-        - is_table.astype(jnp.int32)                   # table rows before
-    ctab = jnp.concatenate([ctab, jnp.full((1,), k1, jnp.int32)])
-    qtarget = jnp.where(is_table, 2 * n2q, order - k1)
-    bpos = jnp.zeros(2 * n2q, jnp.int32).at[qtarget].set(
-        nt, mode="drop")
-    lo_c = bpos[:n2q]                                          # (QB*w^3,)
-    hi_all = bpos[n2q:]
+    groupq = hq_flat & ~jnp.int32(1)
+    vals = jnp.concatenate([groupq, groupq + 2])   # [lo targets, hi)
+
+    lo_b = jnp.zeros(2 * n2q, jnp.int32)
+    hi_b = jnp.full(2 * n2q, k1, jnp.int32)
+    for _ in range(max(k1.bit_length(), 1)):
+        mid = (lo_b + hi_b) >> 1
+        go = sk[jnp.minimum(mid, k1 - 1)] < vals
+        lo_b = jnp.where(go, mid + 1, lo_b)
+        hi_b = jnp.where(go, hi_b, mid)
+    lo_c = lo_b[:n2q]                                          # (QB*w^3,)
+    hi_all = lo_b[n2q:]
 
     # invalid slots beyond the live count probe garbage cells; zero them
-    # so they neither emit candidates nor fake drop telemetry. counts
-    # uses pure table-row ranks (ctab) — positions include interleaved
-    # query rows and would overcount.
+    # so they neither emit candidates nor fake drop telemetry
     pvalid = jnp.repeat(sel2_valid, n_probe)
-    counts = jnp.where(pvalid,
-                       jnp.maximum(ctab[hi_all] - ctab[lo_c], 0), 0)
+    counts = jnp.where(pvalid, jnp.maximum(hi_all - lo_c, 0), 0)
     hi_c = jnp.where(pvalid, hi_all, lo_c)
     total_cells = jnp.sum(counts, dtype=jnp.int32)
 
@@ -529,7 +528,7 @@ def find_congruent_quads_grid(
     # 667 -> 102 ms per 16-base toy-scale join, tools/join_micro_small).
     slot = lo_c[None, :] + jnp.arange(L, dtype=lo_c.dtype)[:, None]
     in_cell = (slot < hi_c[None, :]) & pvalid[None, :]        # (L, PB)
-    slot = jnp.clip(slot, 0, total - 1)
+    slot = jnp.clip(slot, 0, k1 - 1)
 
     # candidate fetch: the slot's table index, then the pair identity
     # and its geometry recomputed from the small pos table — all
@@ -537,10 +536,8 @@ def find_congruent_quads_grid(
     # per probe was tried here and is 12x SLOWER on TPU than the plain
     # gather — vmapped dynamic_slice lowers to gather-of-slices,
     # measured 1053 vs 86 ms at 65k probes x L=16.)
-    # A window can overrun its cell's contiguous table run into the
-    # next groups' interleaved query rows: mask by the sorted key's
-    # table tag bit.
-    in_cell &= (sk[slot] & 1) == 1
+    # The table-only sort means slots within [lo, hi) are table rows by
+    # construction — no tag masking needed.
     orid = jnp.minimum(order[slot], k1 - 1)                   # (L, PB)
     if row_cap is not None:
         trow = jnp.minimum(orid // row_cap, pos.shape[0] - 1)

@@ -569,29 +569,36 @@ def extract_pairs_rowcap_layout_both(
     row_block: int = 2048,
     recall_target: float = 0.9,
     col_offset=None,
+    cols_only: bool = False,
 ):
     """Both base edges' row-capped extractions in one fused block scan.
 
     Outputs are identical to calling :func:`extract_pairs_rowcap_layout`
     with edges (0, 1) and (2, 3) separately (pinned by a parity test),
     but the O(row_block * n) distance geometry is computed once per
-    block instead of twice and both edges' captures go through a single
-    approx_max_k call — the extraction phase of a device step does half
-    the work. Returns ((pairs, valid, count, dropped) for edge (0, 1),
-    same for edge (2, 3)).
+    block instead of twice — the extraction phase of a device step does
+    half the work. Returns ((pairs, valid, count, dropped) for edge
+    (0, 1), same for edge (2, 3)).
+
+    ``cols_only``: return the 1-D cols table instead of packed (K1, 2)
+    pairs — slot s is (s // row_cap, cols[s]); the join consumes this
+    form directly, and skipping the pack avoids a K1 x 2 materialized
+    tensor chain per base (the production step's default).
     """
     outs, n_pad = _rowcap_scan_edges(
         pos, normal, rgb, base_pos, base_norm, base_rgb,
         [(0, 1), (2, 3)], pair_distance_epsilon, cfg,
         row_cap, row_block, recall_target, col_offset)
-    u = jnp.arange(n_pad * row_cap, dtype=jnp.int32) // row_cap
+    if not cols_only:
+        u = jnp.arange(n_pad * row_cap, dtype=jnp.int32) // row_cap
     results = []
     for cols, hit, rc in outs:
-        pairs = jnp.stack([u, cols.reshape(-1)], axis=-1)
+        flat = cols.reshape(-1)
+        table = flat if cols_only else jnp.stack([u, flat], axis=-1)
         valid = hit.reshape(-1)
         count = jnp.sum(rc, dtype=jnp.int32)
         found = jnp.sum(hit, dtype=jnp.int32)
-        results.append((pairs, valid, count, count - found))
+        results.append((table, valid, count, count - found))
     return tuple(results)
 
 

@@ -37,10 +37,18 @@ def cloud(rng):
 
 
 def run_kernel(pos, base, eps, row_cap):
+    """Run the kernel and re-pack its cols-only tables as (K1, 2)
+    pairs for set comparison (slot s = (s // rc, cols[s]))."""
     rc_eff = rowcap_pallas.slots_for(len(pos), row_cap)
-    return rowcap_pallas.extract_pairs_rowcap_pallas_both(
+    outs = rowcap_pallas.extract_pairs_rowcap_pallas_both(
         jnp.asarray(pos), jnp.asarray(base), eps, rc_eff,
-        interpret=True), rc_eff
+        interpret=True)
+    packed = []
+    for cols, valid, count, dropped in outs:
+        u = np.arange(len(cols)) // rc_eff
+        pairs = np.stack([u, np.asarray(cols)], axis=-1)
+        packed.append((pairs, valid, count, dropped))
+    return tuple(packed), rc_eff
 
 
 def test_counts_and_subset(rng, cloud):
