@@ -1281,12 +1281,35 @@ class Match4PCSBase:
                 self._d_p_pos, self._d_p_norm, self._d_p_rgb,
                 self._d_q_pos, self._d_q_norm, self._d_q_rgb)
 
+        # Predictive deadline guard: at large nq a single step is tens
+        # of seconds, so "check the clock between steps" alone can
+        # overrun max_time_seconds by one whole step (measured: 212.6 s
+        # on a 180 s budget at nq=65536 — an escalated-step latency).
+        # Track an EMA of step latency and stop LAUNCHING once the
+        # remaining budget cannot fit another step; stopping one step
+        # early is conservative-safe under the reference's stop rule.
+        step_ema = 0.0
+        t_last = time.perf_counter()
+
+        def budget_left(extra=1.0):
+            return (time.perf_counter() - t0 + extra * step_ema
+                    <= 0.99 * opts.max_time_seconds)
+
         inflight = [launch(step_idx)]
         while True:
-            inflight.append(launch(step_idx + 1))
+            if budget_left(extra=2.0):  # this fetch + the new step
+                inflight.append(launch(step_idx + 1))
+            if not inflight:
+                # deadline guard drained the pipeline: no remaining
+                # budget for another step
+                break
             # one device->host transfer per step: each fetch is a full
             # round-trip on a remote/tunneled device
             out = jax.device_get(inflight.pop(0))
+            now = time.perf_counter()
+            step_ema = (now - t_last if step_ema == 0.0
+                        else 0.5 * step_ema + 0.5 * (now - t_last))
+            t_last = now
             step_lcp = float(out["lcp"])
             self._trial += b
             step_idx += 1
