@@ -384,6 +384,12 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                   and opts.max_translation_distance <= 0
                   and opts.max_angle <= 0)
         if use_pk:
+            if opts.pair_row_cap is None and nq > 32768:
+                # measured at nq=65536 (tools/scale_seeds.py): a
+                # 128-slot table is quality-neutral vs 256 across weak
+                # and strong seeds (LCP 0.849-0.873 either way) and
+                # cuts the join table in half — ~26% step cut
+                join_row_cap = min(join_row_cap, 128)
             join_row_cap = rowcap_pallas.slots_for(nq, join_row_cap)
 
             def _extract_both(pos, normal, rgb, bpos, bnorm, brgb,
