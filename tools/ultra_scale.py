@@ -59,4 +59,6 @@ print(json.dumps({
     "median_err": round(float(np.median(d)), 5),
     "pairs_ovf": int(res.stats["pairs_overflow"]),
     "cell_dropped": int(res.stats["cell_dropped"]),
+    "cands_ovf": int(res.stats["cands_overflow"]),
+    "n_congruent": int(res.stats["n_congruent"]),
 }))
