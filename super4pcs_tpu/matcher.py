@@ -108,6 +108,16 @@ def resolve_bases_per_step(opts: Options, nq: int,
     return b
 
 
+def _kernel_filtered(opts: Options) -> bool:
+    """Whether any per-pair filter is active (the Pallas capture kernel
+    then carries the normals slab + score planes in VMEM, which lowers
+    its size ceiling — see rowcap_pallas.MAX_N_FILTERED)."""
+    return (opts.max_normal_difference > 0
+            or opts.max_color_distance > 0
+            or opts.max_translation_distance > 0
+            or opts.max_angle > 0)
+
+
 def resolve_pair_engine(opts: Options, nq: int,
                         have_band_index: bool = True) -> str:
     """Effective pair-extraction engine (see Options.pair_engine):
@@ -137,13 +147,13 @@ def resolve_pair_engine(opts: Options, nq: int,
         # capture (kernels/rowcap_pallas.py) removes that OOM (no
         # materialized planes: 16-base capture 3.3 s at nq=65536 vs
         # banded's 8.3 s extraction + 46 s index build), so when it
-        # applies (pure distance-band config) rowcap carries to 65536.
+        # applies rowcap carries to 65536. Since r5 the kernel applies
+        # the normal/color/translation/angle filters in-VMEM too
+        # (VERDICT r5 #2) — filtered configs no longer fall back to
+        # the 1.29 TB/step XLA path at scale.
         pallas_ok = (opts.rowcap_kernel != "xla"
-                     and rowcap_pallas.supported(nq)
-                     and opts.max_normal_difference <= 0
-                     and opts.max_color_distance <= 0
-                     and opts.max_translation_distance <= 0
-                     and opts.max_angle <= 0)
+                     and rowcap_pallas.supported(
+                         nq, filtered=_kernel_filtered(opts)))
         rowcap_top = 65536 if pallas_ok else 32768
         e = ("dense" if nq <= 2048
              else ("rowcap" if nq <= rowcap_top else "banded"))
@@ -287,7 +297,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         join_row_cap = None
 
         def _extract_both(pos, normal, rgb, bpos, bnorm, brgb, eps,
-                          pcfg, col_offset=None, band=None):
+                          pcfg, col_offset=None, band=None,
+                          inv1=None):
             ro = col_offset if rotate_dense else None
             return (extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
                                   0, 1, eps, pcfg, capacity=k_pairs,
@@ -299,7 +310,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         join_row_cap = nq
 
         def _extract_both(pos, normal, rgb, bpos, bnorm, brgb, eps,
-                          pcfg, col_offset=None, band=None):
+                          pcfg, col_offset=None, band=None,
+                          inv1=None):
             # nothing to extract: the join derives pair (row, col) from
             # the slot index (allpairs_cols). Diagonal slots (t // nq ==
             # t % nq, i.e. t % (nq+1) == 0) are marked invalid so the
@@ -349,7 +361,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         cp2, ec2 = _band_sizing(k2_cap)
 
         def _extract_both(pos, normal, rgb, bpos, bnorm, brgb, eps,
-                          pcfg, col_offset=None, band=None):
+                          pcfg, col_offset=None, band=None,
+                          inv1=None):
             # ``band``: a traced per-pair index (the batched pairs-axis
             # vmap of parallel/batch.py maps over it); the single-pair
             # matcher's once-per-run index is the closure default
@@ -377,12 +390,9 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         # column range) instead of first-row_cap-in-rotated-order —
         # per-row counts stay exact, drops stay counted.
         use_pk = (opts.rowcap_kernel != "xla"
-                  and rowcap_pallas.supported(nq)
-                  and not opts.estimate_scale
-                  and opts.max_normal_difference <= 0
-                  and opts.max_color_distance <= 0
-                  and opts.max_translation_distance <= 0
-                  and opts.max_angle <= 0)
+                  and rowcap_pallas.supported(
+                      nq, filtered=_kernel_filtered(opts))
+                  and not opts.estimate_scale)
         if use_pk:
             if opts.pair_row_cap is None and nq > 32768:
                 # measured at nq=65536 (tools/scale_seeds.py): a
@@ -393,16 +403,30 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
             join_row_cap = rowcap_pallas.slots_for(nq, join_row_cap)
 
             def _extract_both(pos, normal, rgb, bpos, bnorm, brgb,
-                              eps, pcfg, col_offset=None, band=None):
+                              eps, pcfg, col_offset=None, band=None,
+                              inv1=None):
+                # fused join hash (VERDICT r5 #1): the edge-0 capture
+                # also emits each slot's invariant-point cell hash —
+                # find_congruent_quads_grid(table_hash=...) then skips
+                # its K1-gather hash stage entirely
                 return rowcap_pallas.extract_pairs_rowcap_pallas_both(
-                    pos, bpos, eps, join_row_cap)
+                    pos, bpos, eps, join_row_cap,
+                    invariant1=inv1, cell_size=cell_size,
+                    normal=normal, rgb=rgb, base_norm=bnorm,
+                    base_rgb=brgb,
+                    max_normal_difference=opts.max_normal_difference,
+                    max_color_distance=opts.max_color_distance,
+                    max_translation_distance=(
+                        opts.max_translation_distance),
+                    max_angle=opts.max_angle)
         else:
             # fused two-edge scan: shared geometry, one approx_max_k
             _extract_rowcap = functools.partial(
                 extract_pairs_rowcap_layout_both, row_cap=join_row_cap,
                 recall_target=opts.pair_recall_target, cols_only=True)
 
-            def _extract_both(*a, col_offset=None, band=None):
+            def _extract_both(*a, col_offset=None, band=None,
+                              inv1=None):
                 return _extract_rowcap(*a, col_offset=col_offset)
 
     def _phase_costs(np_: int) -> dict:
@@ -476,9 +500,12 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
         # lottery across trials (see extract_pairs_rowcap)
         off = jax.random.randint(jax.random.fold_in(key, 7919), (),
                                  0, q_pos.shape[0])
-        (pairs1, v1, c1, d1), (pairs2, v2, c2, d2) = _extract_both(
+        ext = _extract_both(
             q_pos, q_norm, q_rgb, base_pos, base_norm, base_rgb,
-            eps_pairs, cfg, col_offset=off, band=band)
+            eps_pairs, cfg, col_offset=off, band=band, inv1=inv1)
+        (pairs1, v1, c1, d1), (pairs2, v2, c2, d2) = ext[0], ext[1]
+        # Pallas capture path: the kernel-fused per-slot join hash
+        thash = ext[2] if len(ext) > 2 else None
 
         # angle between the two base segments (ref:super4pcs.cc:109-111)
         s1 = base_pos[1] - base_pos[0]
@@ -527,6 +554,7 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                     # cells instead
                     cell_size=cell_size,
                     row_cap=join_row_cap,
+                    table_hash=thash,
                     allpairs_cols=(engine == "allpairs"),
                     # strided Q-side sampling only where the valid
                     # prefix is structurally biased (the raw allpairs
@@ -1076,6 +1104,8 @@ class Match4PCSBase:
         #: number_of_trials * this, so post-init overrides of
         #: number_of_trials — e.g. in tests — stay effective)
         self._budget_mult = 1
+        #: escalation rungs climbed (see Options.search_escalation_stages)
+        self._esc_stage = 0
         #: live search factor (escalation raises it mid-run)
         self._search_sf = opts.search_delta_factor
 
@@ -1253,7 +1283,7 @@ class Match4PCSBase:
         self._esc_prep = None
         self._esc_args = args
         self._esc_enabled = (
-            opts.search_escalation_factor > self._search_sf
+            self._esc_next_factor() > self._search_sf
             and self._refine_active())
 
         if opts.phase_timing:
@@ -1527,14 +1557,29 @@ class Match4PCSBase:
     #: enough that runs solving in the first dispatches never pay it
     _ESC_ARM_FRACTION = 0.35
 
+    def _esc_next_factor(self) -> float:
+        """The next escalation rung's search factor: rung ``s``
+        searches at ``search_escalation_factor ** s`` (see
+        Options.search_escalation_stages — VERDICT r4 #5's second
+        rung for seeds whose first escalated estimate also exhausts)."""
+        opts = self.options
+        if self._esc_stage >= opts.search_escalation_stages:
+            return 0.0
+        return float(opts.search_escalation_factor
+                     ** (self._esc_stage + 1))
+
     def _maybe_arm_escalation(self, fraction_try: float):
-        """Arm the background escalation compile once the run has burned
-        ``_ESC_ARM_FRACTION`` of its trial budget below the threshold
-        (see _perform_steps: lazy arming)."""
+        """Arm the background escalation compile once the run has
+        burned ``_ESC_ARM_FRACTION`` of the CURRENT rung's trial
+        extension below the threshold (see _perform_steps: lazy
+        arming). The rung spans trial fractions
+        [(mult-1)/mult, 1] of the extended budget."""
+        mult = self._budget_mult
+        gate = (mult - 1.0 + self._ESC_ARM_FRACTION) / mult
         if (self._esc_prep is None and self._esc_enabled
-                and fraction_try >= self._ESC_ARM_FRACTION):
+                and fraction_try >= gate):
             self._esc_prep = self._start_escalation_compile(
-                self.options.search_escalation_factor, self._esc_args)
+                self._esc_next_factor(), self._esc_args)
 
     def _start_escalation_compile(self, esc: float, args):
         """Build + compile the escalated-factor step and refine programs
@@ -1598,7 +1643,10 @@ class Match4PCSBase:
                             self._best_lcp,
                             "; escalating search_delta_factor to ", esc)
         self._search_sf = esc
-        self._esc_enabled = False     # one escalation per run
+        self._esc_stage += 1
+        # more rungs on the ladder? (Options.search_escalation_stages)
+        self._esc_enabled = (self._esc_next_factor() > self._search_sf
+                             and self._refine_active())
         self._step_fn = prep["step"]
         self._refine_jit = prep["refine"]
         self._k_pairs, self._k_quads, self._n_cands = prep["caps"]
@@ -1785,6 +1833,8 @@ class Match4PCSBase:
         self._best_rank = float(state.get("best_rank", -np.inf))
         self._budget_mult = int(state.get("budget_mult",
                                           self._budget_mult))
+        # one budget extension per rung climbed
+        self._esc_stage = self._budget_mult - 1
         sf = float(state.get("search_sf", self._search_sf))
         if sf != self._search_sf:
             # checkpoint was taken post-escalation: rebuild at its

@@ -238,6 +238,7 @@ def find_congruent_quads_grid(
     allpairs_cols: bool = False,
     q_uniform: bool = False,
     q_rot=None,
+    table_hash=None,
 ):
     """Output-sensitive congruent-set join via a sorted spatial hash.
 
@@ -302,6 +303,17 @@ def find_congruent_quads_grid(
     ordered pair is a candidate — see matcher.resolve_pair_engine) at
     zero extraction cost and zero K1-sized gathers.
 
+    ``table_hash`` (requires ``row_cap``): a precomputed (K1,) int32
+    cell-hash column for the table — captured slots carry
+    ``_cell_hash(floor(e1 / cell))``, empty slots the int32-max
+    sentinel. The Pallas capture kernel emits this while both pair
+    endpoints are VMEM-resident (kernels/rowcap_pallas.py), removing
+    the join's single largest cost: the K1-sized ``pos[cols]`` gathers
+    + invariant-point arithmetic of the hash build (measured 2.66 s of
+    the 3.94 s join at nq=32768, b=16 — tools/join5_micro.py). The
+    caller guarantees bit-identical hash arithmetic (same primes, same
+    ``a + inv (b - a)`` expression, same cell size).
+
     ``q_uniform`` replaces the first-``q_budget``-valid-slots probe
     selection with a rotated strided walk over the whole second-side
     buffer (rotation ``q_rot``, re-drawn per trial). The prefix rule is
@@ -360,7 +372,14 @@ def find_congruent_quads_grid(
             out.append((ac, bc, ac + invariant1 * (bc - ac)))
         return out
 
-    if allpairs_cols:
+    if table_hash is not None:
+        # the capture kernel hashed each slot's invariant-point cell
+        # in-VMEM while both endpoints were resident (empty slots carry
+        # the sentinel) — the whole K1-gather hash stage below is
+        # skipped (see the table_hash docstring)
+        assert row_cap is not None, "table_hash requires row_cap layout"
+        h1 = table_hash
+    elif allpairs_cols:
         # Implicit full-pair table: row t = (t // row_cap, t % row_cap).
         # BOTH endpoint columns are broadcasts of small pos gathers —
         # the hash stage of the nq^2-row table does no K1-sized gather
@@ -396,12 +415,13 @@ def find_congruent_quads_grid(
         rows1 = pairs1[:, 0]
         e1c = [e for (_, _, e) in _e1_components(rows1, cols1)]
 
-    # hash e1 cells; invalid entries get a sentinel hash kept out of the
-    # way by the sort
-    h1 = (jnp.floor(e1c[0] / cell).astype(jnp.int32) * _HP1) \
-        ^ (jnp.floor(e1c[1] / cell).astype(jnp.int32) * _HP2) \
-        ^ (jnp.floor(e1c[2] / cell).astype(jnp.int32) * _HP3)
-    h1 = jnp.where(valid1, h1, jnp.int32(2147483647))
+    if table_hash is None:
+        # hash e1 cells; invalid entries get a sentinel hash kept out
+        # of the way by the sort
+        h1 = (jnp.floor(e1c[0] / cell).astype(jnp.int32) * _HP1) \
+            ^ (jnp.floor(e1c[1] / cell).astype(jnp.int32) * _HP2) \
+            ^ (jnp.floor(e1c[2] / cell).astype(jnp.int32) * _HP3)
+        h1 = jnp.where(valid1, h1, jnp.int32(2147483647))
 
     # The table is sorted ONCE (further below, fused with the probe
     # boundary queries), carrying ONLY the original index as payload:
@@ -488,9 +508,60 @@ def find_congruent_quads_grid(
     groupq = hq_flat & ~jnp.int32(1)
     vals = jnp.concatenate([groupq, groupq + 2])   # [lo targets, hi)
 
-    lo_b = jnp.zeros(2 * n2q, jnp.int32)
-    hi_b = jnp.full(2 * n2q, k1, jnp.int32)
-    for _ in range(max(k1.bit_length(), 1)):
+    # Bucket-accelerated range search (r5): a dense 2^16-bucket BLOCK
+    # offset table over the sorted keys — bucket = the key's top 16
+    # bits in unsigned order (monotone in signed order) — seeds each
+    # probe's binary search inside its bucket, cutting the serial
+    # gather rounds from log2(k1) (23 at nq=32768) toward log2(bucket
+    # width). The table is built from a 64-STRIDED sample of the keys
+    # (block-last keys): jb[m] = first 64-block whose last key reaches
+    # bucket m, so the true boundary for any value of bucket b lies in
+    # [64*jb[b], 64*jb[b+1] + 64]. Building from the sample keeps every
+    # construction op at k1/64 elements — a first cut built the table
+    # from the full key column and its masked_indices cumsum alone cost
+    # 0.54 s/step at nq=32768, MORE than the rounds it saved
+    # (tools/join5_micro.py); the sampled build is ~free.
+    # Every seed is clamped to the start of the sentinel zone (invalid
+    # rows, hash int32-max): without the clamp a probe whose cell
+    # hashes into the TOP bucket would range over sentinel rows whose
+    # clamped (row, 0) pair identities are real points never captured —
+    # the one way a junk candidate could pass the exact distance mask.
+    # (The old full search excluded them structurally.)
+    MIN32 = jnp.int32(-2147483648)
+    nblk = (k1 + 63) // 64
+    sk_s = sk[63::64]                             # block-last keys
+    if sk_s.shape[0] < nblk:                      # k1 % 64 != 0 tail
+        sk_s = jnp.concatenate([sk_s, sk[-1:]])
+    buck_s = jax.lax.shift_right_logical(sk_s ^ MIN32, 16)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), buck_s[1:] != buck_s[:-1]])
+    fi, fv, _ = masked_indices(first, min(65536, nblk))
+    tgt = jnp.where(fv, buck_s[fi], 65536)
+    starts = jnp.full((65537,), nblk, jnp.int32).at[tgt].min(
+        jnp.where(fv, fi, nblk), mode="drop")
+    jb = jnp.flip(jax.lax.cummin(jnp.flip(starts)))
+    slo = jnp.int32(0)
+    shi = jnp.int32(k1)
+    for _ in range(max(k1.bit_length(), 1)):       # scalar: ~free
+        mid = (slo + shi) >> 1
+        go = sk[jnp.minimum(mid, k1 - 1)] < jnp.int32(2147483646)
+        slo = jnp.where(go, mid + 1, slo)
+        shi = jnp.where(go, shi, mid)
+
+    bq = jax.lax.shift_right_logical(vals ^ MIN32, 16)
+    lo_b = jnp.minimum(64 * jb[bq], slo)
+    hi_b = jnp.minimum(jnp.minimum(64 * jb[bq + 1] + 64, k1), slo)
+    # Rounds cover buckets up to 2^rounds rows. A bucket's width is the
+    # sum of its cells' table occupancies; a denser-than-2^rounds cell
+    # leaves the search short of the group boundary, costing that probe
+    # part of its L candidate slots — the same per-cell cap lottery the
+    # join already lives with (lo never overshoots: junk slots below
+    # the boundary are distance-masked, never false positives). At the
+    # small k1 of the CPU parity tests rounds >= log2(k1), so results
+    # there are bit-identical to the exhaustive search.
+    rounds = min(max(k1.bit_length(), 1),
+                 max(12, (k1 >> 16).bit_length() + 5))
+    for _ in range(rounds):
         mid = (lo_b + hi_b) >> 1
         go = sk[jnp.minimum(mid, k1 - 1)] < vals
         lo_b = jnp.where(go, mid + 1, lo_b)

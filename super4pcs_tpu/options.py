@@ -236,6 +236,18 @@ class Options:
     #: the last 5% of the wall budget. Values <= the active
     #: search_delta_factor disable escalation.
     search_escalation_factor: float = 2.0
+    #: Escalation LADDER depth (VERDICT r4 #5): how many escalation
+    #: rungs a run may climb, rung ``s`` searching at
+    #: ``search_escalation_factor ** s`` with a fresh trial-estimate
+    #: extension each time. The r4 single rung left a failing seed
+    #: with no recourse when the escalated estimate also exhausted
+    #: below the threshold (nq=32768 seed 1 burned its budget at LCP
+    #: 0.653); a second rung (factor 4 by default) makes counterpart
+    #: 4-tuples another ~10x more common at ~3x step cost — the right
+    #: trade for a run that is otherwise out of options. Every rung
+    #: uses the same zero-blocking background-compile machinery; the
+    #: wall-clock budget still binds. 1 restores the r4 behavior.
+    search_escalation_stages: int = 2
     #: Trimmed-ICP refinement iterations applied to every new best
     #: transform inside the anytime loop and once more after the search
     #: (a quality stage beyond the reference — RANSAC 4-point fits
@@ -265,6 +277,14 @@ class Options:
     #: search_delta_factor != 1. The wall clock is checked between
     #: dispatches; the trial budget still binds per STEP (the dispatch
     #: depth is a traced argument clipped to the remaining estimate).
+    #: Contract divergence (documented, pinned by
+    #: test_fused_dispatch_visitor_contract): visitor improvement
+    #: callbacks coalesce to at most one per dispatch (the host only
+    #: observes the carried best at dispatch boundaries), and the
+    #: coarse-search rank-redemption path exists only in the per-step
+    #: loop — which cannot co-occur, since fused dispatch is forced off
+    #: at search_delta_factor != 1. Results are step-loop-identical;
+    #: only the progress stream's granularity changes.
     steps_per_dispatch: Optional[int] = None
     #: Pin the sampled-P point count to exactly this value (truncating
     #: by random choice / repeat-padding as needed). P-shape stability
@@ -339,6 +359,10 @@ class Options:
             raise ValueError(
                 f"search_escalation_factor must be >= 0, got "
                 f"{self.search_escalation_factor}")
+        if self.search_escalation_stages < 0:
+            raise ValueError(
+                f"search_escalation_stages must be >= 0, got "
+                f"{self.search_escalation_stages}")
         if self.direction_bins not in ("cone", "healpix"):
             raise ValueError(
                 f"direction_bins must be 'cone' or 'healpix', got "

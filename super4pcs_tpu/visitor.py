@@ -12,6 +12,18 @@ match4pcsBase.h:73-76, hpp:232-252, hpp:458-465): a callable
 
 ``needs_global_transformation()`` selects whether the visitor receives
 the centered-frame transform or the recomposed original-frame one.
+
+Fused-dispatch granularity (Options.steps_per_dispatch > 1, the
+toy-scale latency path): improvement callbacks COALESCE — the device
+runs up to K anytime steps per dispatch and the host observes only the
+best-so-far at each dispatch boundary, so the visitor sees at most one
+improvement (and one progress call) per K steps instead of per step.
+The final result is unchanged (the in-device loop applies the same
+adopt/refine rules per step); only the stream's granularity differs.
+The coarse-search rank-redemption path (search_delta_factor > 1) is
+per-step-loop only — fused dispatch is automatically disabled there
+(matcher.resolve_steps_per_dispatch), so no run combines the two.
+Pinned by tests/test_matcher.py::test_fused_dispatch_visitor_contract.
 """
 
 from __future__ import annotations

@@ -402,6 +402,7 @@ def test_search_escalation_on_trial_exhaustion(rng, make_transform):
     opts = Options(delta=0.025, sample_size=200, max_time_seconds=300,
                    bases_per_step=8, max_quads=2048, max_candidates=4096,
                    random_seed=23, search_escalation_factor=2.0,
+                   search_escalation_stages=1,   # pin the single rung
                    ).configure_overlap(0.9, terminate_threshold=1.0)
     m = MatchSuper4PCS(opts)
     res = m.compute_transformation(
@@ -427,6 +428,36 @@ def test_search_escalation_on_trial_exhaustion(rng, make_transform):
         PointCloud(pos=pos), PointCloud(pos=q), resume_state=state)
     assert m2._search_sf == 2.0
     assert res2.score >= res.score - 1e-6
+
+
+def test_search_escalation_second_rung(rng, make_transform):
+    """The escalation LADDER (VERDICT r4 #5): when the first escalated
+    estimate also exhausts below the threshold, a second rung rebuilds
+    at factor^2 with another budget extension — the failing-seed
+    recourse the single-rung design lacked."""
+    pos = bumpy_cloud(rng, 300)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+
+    # unreachable threshold: every rung exhausts its estimate; the
+    # ample wall budget lets the run climb both rungs
+    opts = Options(delta=0.04, sample_size=150, max_time_seconds=600,
+                   bases_per_step=8, max_quads=1024, max_candidates=2048,
+                   random_seed=11, search_escalation_factor=2.0,
+                   search_escalation_stages=2,
+                   ).configure_overlap(0.9, terminate_threshold=1.0)
+    m = MatchSuper4PCS(opts)
+    res = m.compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q))
+    assert res.stats.get("escalated_to") == 4.0     # rung 2 = factor^2
+    assert m._budget_mult == 3                      # two extensions
+    assert m._esc_stage == 2
+    assert res.stats["escalation_compile_seconds"] == 0.0
+    # quality still holds through the coarse rungs + guarded refine
+    rot_diff, tr_diff = rot_tr_diff(res.transform, mat)
+    assert rot_diff <= 0.2 and tr_diff <= 0.1, (
+        rot_diff, tr_diff, res.score)
 
 
 def test_cell_cap_pressure_does_not_hurt_quality(rng, make_transform):
@@ -615,6 +646,58 @@ def test_fused_dispatch_matches_unfused(rng, make_transform):
         res_fused.score, res_plain.score)
     np.testing.assert_allclose(res_fused.transform, res_plain.transform,
                                atol=1e-3)
+
+
+def test_fused_dispatch_visitor_contract(rng, make_transform):
+    """Pin the documented fused-loop contract divergence (VERDICT r4
+    #7, visitor.py / Options.steps_per_dispatch): fused dispatches
+    COALESCE improvement callbacks — the host observes at most one
+    improvement per dispatch, each a value the unfused per-step stream
+    also produces — and both paths end at the same best."""
+
+    class Recorder:
+        def __init__(self):
+            self.improvements = []
+            self.fractions = []
+
+        def __call__(self, fraction, best_lcp, transform):
+            if fraction < 0:
+                self.improvements.append(float(best_lcp))
+            else:
+                self.fractions.append(float(fraction))
+
+        def needs_global_transformation(self):
+            return False
+
+    pos = bumpy_cloud(rng, 150)
+    mat = make_transform(max_translation=0.4)
+    inv = np.linalg.inv(mat)
+    q_pos = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    base = Options(delta=0.05, sample_size=150, max_time_seconds=60,
+                   max_quads=512, max_candidates=1024,
+                   random_seed=7).configure_overlap(0.9)
+
+    vis_f, vis_p = Recorder(), Recorder()
+    res_f = MatchSuper4PCS(base).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q_pos), visitor=vis_f)
+    res_p = MatchSuper4PCS(
+        base.replace(steps_per_dispatch=1)).compute_transformation(
+        PointCloud(pos=pos), PointCloud(pos=q_pos), visitor=vis_p)
+
+    # same registration either way (the result contract)
+    assert abs(res_f.score - res_p.score) < 1e-3
+    # both streams open with the fraction-0 call
+    assert vis_f.fractions[0] == 0.0 and vis_p.fractions[0] == 0.0
+    # coalescing: at most one improvement per dispatch — never more
+    # callbacks than the per-step loop produces
+    assert 1 <= len(vis_f.improvements) <= len(vis_p.improvements)
+    # every coalesced improvement is a value the per-step stream also
+    # reached (the dispatch boundary exposes the carried best, which
+    # the unfused loop reports when it first adopts it)
+    for v in vis_f.improvements:
+        assert any(abs(v - u) < 1e-5 for u in vis_p.improvements), (
+            v, vis_p.improvements)
+    assert abs(vis_f.improvements[-1] - vis_p.improvements[-1]) < 1e-5
 
 
 def test_similarity_refinement_recovers_scale(rng, make_transform):

@@ -109,6 +109,125 @@ def test_matches_dense_extractor(rng, cloud):
     assert len(got) == len(dense) - int(dropped)
 
 
+def test_fused_hash_matches_xla_formula(rng, cloud):
+    """The kernel's per-slot join hash (r5 extension #1) must equal the
+    XLA hash of the same slot's invariant point, and empty slots must
+    carry the join sentinel."""
+    from super4pcs_tpu.ops import congruent
+
+    base = cloud[rng.choice(len(cloud), 4, replace=False)]
+    eps, inv1, cell = 0.05, 0.37, 0.02
+    rc_eff = rowcap_pallas.slots_for(len(cloud), 16)
+    r1, r2, h1 = rowcap_pallas.extract_pairs_rowcap_pallas_both(
+        jnp.asarray(cloud), jnp.asarray(base), eps, rc_eff,
+        interpret=True, invariant1=jnp.float32(inv1), cell_size=cell)
+    cols, valid, count, dropped = r1
+    h1 = np.asarray(h1)
+    valid = np.asarray(valid)
+    rows = np.arange(len(h1)) // rc_eff
+    e1 = np.asarray(congruent.invariant_points(
+        jnp.asarray(cloud),
+        jnp.stack([jnp.asarray(rows, jnp.int32), cols], axis=-1),
+        jnp.float32(inv1)))
+    cells = np.floor(e1 / cell).astype(np.int32)
+    expect = np.asarray(congruent._cell_hash(cells))
+    assert np.array_equal(h1[valid], expect[valid])
+    assert np.all(h1[~valid] == 2147483647)
+    # the second edge's result is unaffected by hash emission
+    (p2_plain, v2_plain, *_), = (rowcap_pallas.
+                                 extract_pairs_rowcap_pallas_both(
+        jnp.asarray(cloud), jnp.asarray(base), eps, rc_eff,
+        interpret=True)[1],)
+    assert np.array_equal(np.asarray(r2[0]), np.asarray(p2_plain))
+
+
+def _filter_parity(rng, cloud, cfg_kwargs, normal=None, rgb=None,
+                   base_norm=None, base_rgb=None):
+    """Kernel capture (ample quota) vs the dense ops/pairs oracle with
+    the same filter config: exact per-row counts + exact set equality."""
+    n = len(cloud)
+    base_ids = rng.choice(n, 4, replace=False)
+    base = cloud[base_ids]
+    eps = 0.05
+    zeros = np.zeros_like(cloud)
+    negs = np.full_like(cloud, -1.0)
+    normal = zeros if normal is None else normal
+    rgb = negs if rgb is None else rgb
+    base_norm = normal[base_ids] if base_norm is None else base_norm
+    base_rgb = rgb[base_ids] if base_rgb is None else base_rgb
+
+    cfg = PairFilterConfig(use_distance_filter=True, **cfg_kwargs)
+    oracle = {}
+    worst_row = 8
+    for e, (e0, e1) in enumerate(((0, 1), (2, 3))):
+        pairs_d, valid_d, count_d, _ = extract_pairs(
+            jnp.asarray(cloud), jnp.asarray(normal), jnp.asarray(rgb),
+            jnp.asarray(base), jnp.asarray(base_norm),
+            jnp.asarray(base_rgb), e0, e1, eps, cfg,
+            capacity=n * 256)   # ample: never truncates the oracle
+        oset = {tuple(p) for p, v in zip(np.asarray(pairs_d),
+                                         np.asarray(valid_d)) if v}
+        oracle[e] = (oset, int(count_d))
+        if oset:
+            rows, counts = np.unique([p[0] for p in oset],
+                                     return_counts=True)
+            worst_row = max(worst_row, int(counts.max()))
+
+    # ample per-segment quota: the per-row worst bounds any segment's
+    rc_eff = rowcap_pallas.slots_for(n, worst_row * 4)
+    outs = rowcap_pallas.extract_pairs_rowcap_pallas_both(
+        jnp.asarray(cloud), jnp.asarray(base), eps, rc_eff,
+        interpret=True,
+        normal=jnp.asarray(normal), rgb=jnp.asarray(rgb),
+        base_norm=jnp.asarray(base_norm), base_rgb=jnp.asarray(base_rgb),
+        max_normal_difference=cfg_kwargs.get("max_normal_difference",
+                                             -1.0),
+        max_color_distance=cfg_kwargs.get("max_color_distance", -1.0),
+        max_translation_distance=cfg_kwargs.get(
+            "max_translation_distance", -1.0),
+        max_angle=cfg_kwargs.get("max_angle", -1.0))
+    for e, (pairs, valid, count, dropped) in enumerate(outs):
+        oset, ocount = oracle[e]
+        assert int(count) == ocount, (e, int(count), ocount)
+        u = np.arange(len(pairs)) // rc_eff
+        got = {(int(a), int(b)) for a, b, v in zip(
+            u, np.asarray(pairs), np.asarray(valid)) if v}
+        assert got <= oset
+        assert len(got) + int(dropped) == ocount
+
+
+def test_filtered_capture_normals(rng, cloud):
+    nrm = rng.normal(size=cloud.shape).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm[::7] = 0.0    # invalid normals take the escape path
+    _filter_parity(rng, cloud, dict(max_normal_difference=25.0),
+                   normal=nrm)
+
+
+def test_filtered_capture_color_translation(rng, cloud):
+    rgb = rng.uniform(0, 255, size=cloud.shape).astype(np.float32)
+    rgb[::5] = -1.0   # colorless points take the escape path
+    _filter_parity(rng, cloud,
+                   dict(max_color_distance=120.0,
+                        max_translation_distance=1.1), rgb=rgb)
+
+
+def test_filtered_capture_angle(rng, cloud):
+    _filter_parity(rng, cloud, dict(max_angle=70.0))
+
+
+def test_filtered_capture_all(rng, cloud):
+    nrm = rng.normal(size=cloud.shape).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rgb = rng.uniform(0, 255, size=cloud.shape).astype(np.float32)
+    _filter_parity(rng, cloud,
+                   dict(max_normal_difference=40.0,
+                        max_color_distance=150.0,
+                        max_translation_distance=1.3,
+                        max_angle=80.0),
+                   normal=nrm, rgb=rgb)
+
+
 def test_slots_rounding():
     # segments x per-segment quota
     assert rowcap_pallas.slots_for(8192, 160) == 160     # 16 segs x 10
