@@ -190,7 +190,9 @@ def _kernel(geo_ref, meta_ref, q8t_ref, n8t_ref, aux_ref, rcscore_ref,
         nd = jnp.minimum(jnp.abs(dminus - a_ang),
                          jnp.abs(dplus - a_ang))
         both = (n2r.T > 0) & (n2c > 0)
-        mask &= jnp.where(both, nd <= nthr, True)
+        # no jnp.where on bools: Mosaic rejects the i8->i1 truncation
+        # a scalar-True select lowers to
+        mask &= (~both) | (nd <= nthr)
 
     if use_rowcol:
         # separable color/translation scores: pass iff row + col >= 2

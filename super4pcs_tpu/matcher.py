@@ -995,6 +995,12 @@ class Match4PCSBase:
                 score=K_LARGE_NUMBER, transform=np.eye(4, dtype=np.float32),
                 transformed_q=None, n_trials=0, improved=False, stats={})
 
+        opts = self.options
+        if (opts.estimate_scale and opts.scale_hierarchical
+                and resume_state is None
+                and opts.sample_size > opts.scale_max_q):
+            return self._compute_scale_hierarchical(P, Q, visitor)
+
         self._init(P, Q)
         if resume_state is not None:
             self._import_state(resume_state)
@@ -1022,6 +1028,93 @@ class Match4PCSBase:
             improved=improved,
             stats=dict(self._stats),
         )
+
+    def _compute_scale_hierarchical(self, P: PointCloud, Q: PointCloud,
+                                    visitor) -> RegistrationResult:
+        """Two-phase similarity registration above the scale-mode
+        sample ceiling (see Options.scale_hierarchical, VERDICT r4 #8):
+
+        1. COARSE: similarity solve at ``scale_max_q`` samples — the
+           allpairs engine is exact there — recovers the global scale
+           ``s`` (and a pose the fine phase does not reuse: RANSAC at
+           full resolution is cheaper than trusting a coarse pose);
+        2. FINE: Q rescaled by ``s`` makes the problem rigid, so the
+           full-resolution solve rides the distance-banded fast path
+           (dense/rowcap/Pallas engines at any nq). The returned
+           transform composes the rescale: ``M = T_fine @ diag(s)``.
+
+        The residual coarse-scale error (measured 0.08% at nq=2500,
+        BASELINE.md r3) lands well inside the fine delta; the fine
+        phase registers it away as pose, so the composed similarity
+        meets the sub-0.5% scale contract without a second scale fit.
+        """
+        opts = self.options
+        needs_global = visitor_needs_global(visitor)
+        coarse_opts = opts.replace(
+            sample_size=opts.scale_max_q,
+            # phase budget: the coarse solve at <=2048 samples measured
+            # seconds-scale (BASELINE.md r3: 11.5 s at nq=2500); cap it
+            # at 40% so the fine phase always keeps the larger share
+            max_time_seconds=max(opts.max_time_seconds * 0.4, 1.0))
+        t0 = time.perf_counter()
+
+        def coarse_visitor(fraction, lcp, transform):
+            # coarse progress maps to the first half of the stream;
+            # its transforms already act on the ORIGINAL Q
+            visitor(fraction if fraction < 0 else 0.5 * min(fraction, 1.0),
+                    lcp, transform)
+
+        coarse_visitor.needs_global_transformation = lambda: needs_global
+        coarse = type(self)(coarse_opts, self.logger, mesh=self._mesh) \
+            .compute_transformation(P, Q, visitor=coarse_visitor)
+        coarse_s = time.perf_counter() - t0
+        if not coarse.improved:
+            coarse.stats["scale_hierarchical"] = "coarse_failed"
+            return coarse
+        # similarity scale of the coarse transform (columns of s*R all
+        # have norm s; the determinant cube root is rotation-robust)
+        s = float(abs(np.linalg.det(
+            np.asarray(coarse.transform)[:3, :3]))) ** (1.0 / 3.0)
+
+        q2 = PointCloud(
+            pos=(np.asarray(Q.pos, np.float32) * np.float32(s)),
+            normal=Q.normal, rgb=Q.rgb)
+        remaining = max(opts.max_time_seconds - coarse_s, 1.0)
+        fine_opts = opts.replace(estimate_scale=False,
+                                 max_time_seconds=remaining)
+        scale_mat = np.diag([s, s, s, 1.0]).astype(np.float32)
+
+        def fine_visitor(fraction, lcp, transform):
+            # fine transforms act on s*Q; global-frame consumers get
+            # the composed similarity on the original Q
+            t = (np.asarray(transform) @ scale_mat if needs_global
+                 else transform)
+            visitor(fraction if fraction < 0
+                    else 0.5 + 0.5 * min(fraction, 1.0), lcp, t)
+
+        fine_visitor.needs_global_transformation = lambda: needs_global
+        fine = type(self)(fine_opts, self.logger, mesh=self._mesh) \
+            .compute_transformation(P, q2, visitor=fine_visitor)
+
+        stats = dict(fine.stats)
+        stats["hierarchical_scale"] = s
+        stats["coarse_search_seconds"] = coarse.stats.get(
+            "search_seconds", coarse_s)
+        stats["coarse_lcp"] = coarse.score
+        stats["coarse_trials"] = coarse.n_trials
+        if not fine.improved:
+            # the fine phase found nothing better than identity-on-s*Q;
+            # fall back to the coarse similarity result outright
+            coarse.stats.update(stats)
+            coarse.stats["scale_hierarchical"] = "fine_failed"
+            return coarse
+        mat = np.asarray(fine.transform, np.float32) @ scale_mat
+        transformed_q = Q.transformed(mat)
+        return RegistrationResult(
+            score=fine.score, transform=mat,
+            transformed_q=transformed_q,
+            n_trials=coarse.n_trials + fine.n_trials,
+            improved=True, stats=stats)
 
     # accessors mirroring getFirstSampled/getSecondSampled
     # (ref:match4pcsBase.h:88-94) — in original (uncentered) coordinates.
@@ -1498,6 +1591,7 @@ class Match4PCSBase:
         state_f, state_i = self._fused_state()
         cloud_args = (diam, self._d_p_pos, self._d_p_norm, self._d_p_rgb,
                       self._d_q_pos, self._d_q_norm, self._d_q_rgb)
+        self._stats.setdefault("fused_dispatches", 0)
         while True:
             steps_done = self._trial // b
             if opts.use_full_time_budget:
@@ -1514,6 +1608,7 @@ class Match4PCSBase:
             host_f, host_i, row = jax.device_get(
                 (state_f, state_i, row_dev))
             row = np.asarray(row)
+            self._stats["fused_dispatches"] += 1
             self._trial += int(row[0]) * b
             self._stats["pairs_overflow"] += int(row[1])
             self._stats["quads_overflow"] += int(row[2])

@@ -142,6 +142,24 @@ class Options:
     #: stats["scale_q_capped"]). Raising it is supported — the cost is
     #: step time (~nq^2), not correctness.
     scale_max_q: int = 2048
+    #: Hierarchical scale mode (VERDICT r4 #8): when estimate_scale is
+    #: on and sample_size exceeds scale_max_q, solve in two phases
+    #: instead of truncating Q to the ceiling — (1) a COARSE similarity
+    #: solve at scale_max_q samples recovers the global scale s (the
+    #: allpairs engine is exact there: measured 0.08% scale error at
+    #: nq=2500, BASELINE.md r3), then (2) a full-resolution RIGID solve
+    #: on Q rescaled by s rides the fast distance-banded pipeline
+    #: (Pallas capture at any nq) and the composed similarity is
+    #: returned. This raises the scale-mode ceiling from ~4k samples
+    #: (nq^2 join-table rows per base) to the rigid path's — the nq^2
+    #: barrier applies only to the coarse phase, whose sample count is
+    #: capped. The residual scale error from phase 1 is absorbed by
+    #: delta in phase 2 and re-polished by the final similarity
+    #: (Umeyama) refine. False restores the truncate-to-ceiling
+    #: behavior (stats["scale_q_capped"]). Reference analog: the
+    #: MULTISCALE path is O(n^2) at any n
+    #: (ref:algorithms/4pcs.cc:114-198 brute force under MULTISCALE).
+    scale_hierarchical: bool = True
     #: Pair-extraction engine: "auto" picks dense masking (nq <= 2048),
     #: row-capped approx-top-k capture (2048 < nq <= 32768), or the
     #: banded sorted-cell-pair-table engine (nq > 32768 — rowcap OOMs

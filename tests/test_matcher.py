@@ -435,16 +435,19 @@ def test_search_escalation_second_rung(rng, make_transform):
     estimate also exhausts below the threshold, a second rung rebuilds
     at factor^2 with another budget extension — the failing-seed
     recourse the single-rung design lacked."""
-    pos = bumpy_cloud(rng, 300)
-    mat = make_transform(max_translation=0.3)
+    pos = bumpy_cloud(rng, 500)
+    keep = rng.choice(len(pos), 200, replace=False)
+    mat = make_transform(max_translation=0.4)
     inv = np.linalg.inv(mat)
-    q = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    q = (pos[keep] @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    q += rng.normal(scale=0.008, size=q.shape).astype(np.float32)
 
-    # unreachable threshold: every rung exhausts its estimate; the
-    # ample wall budget lets the run climb both rungs
-    opts = Options(delta=0.04, sample_size=150, max_time_seconds=600,
-                   bases_per_step=8, max_quads=1024, max_candidates=2048,
-                   random_seed=11, search_escalation_factor=2.0,
+    # noise keeps LCP < 1 and the threshold is unreachable, so every
+    # rung exhausts its estimate; the ample wall budget lets the run
+    # climb both rungs before the trial-stop fires
+    opts = Options(delta=0.025, sample_size=200, max_time_seconds=600,
+                   bases_per_step=8, max_quads=2048, max_candidates=4096,
+                   random_seed=23, search_escalation_factor=2.0,
                    search_escalation_stages=2,
                    ).configure_overlap(0.9, terminate_threshold=1.0)
     m = MatchSuper4PCS(opts)
@@ -809,6 +812,7 @@ def test_scale_mode_q_ceiling(rng, make_transform):
     # test is the cap + telemetry + registration on the capped sample
     opts = Options(delta=0.05, sample_size=2500, max_time_seconds=60,
                    bases_per_step=8, estimate_scale=True,
+                   scale_hierarchical=False,   # pin the truncate path
                    scale_max_q=192, max_quads=2048, max_candidates=8192,
                    random_seed=21).configure_overlap(0.6, 0.9)
     m = MatchSuper4PCS(opts)
@@ -820,6 +824,34 @@ def test_scale_mode_q_ceiling(rng, make_transform):
     assert abs(est_scale - s) < 0.07, est_scale
     moved = q @ res.transform[:3, :3].T + res.transform[:3, 3]
     assert np.median(np.linalg.norm(moved - pos, axis=1)) < 0.05
+
+
+def test_scale_hierarchical_registration(rng, make_transform):
+    """Hierarchical scale mode (Options.scale_hierarchical, VERDICT r4
+    #8): above scale_max_q the matcher solves scale COARSE at the
+    ceiling, rescales Q, and registers RIGID at full resolution on the
+    fast banded path — composed similarity, sub-0.5%-class scale error,
+    full-sample LCP. The ceiling stops truncating Q."""
+    s = 1.4
+    pos = bumpy_cloud(rng, 900)
+    mat = make_transform(max_translation=0.3)
+    inv = np.linalg.inv(mat)
+    q = ((pos @ inv[:3, :3].T + inv[:3, 3]) / s).astype(np.float32)
+    q += rng.normal(scale=0.006, size=q.shape).astype(np.float32)
+
+    opts = Options(delta=0.04, sample_size=900, max_time_seconds=120,
+                   bases_per_step=8, estimate_scale=True,
+                   scale_max_q=256, max_quads=2048, max_candidates=8192,
+                   random_seed=21).configure_overlap(0.6, 0.9)
+    m = MatchSuper4PCS(opts)
+    res = m.compute_transformation(PointCloud(pos=pos), PointCloud(pos=q))
+    assert "hierarchical_scale" in res.stats
+    assert "scale_q_capped" not in res.stats       # no truncation
+    assert res.score > 0.8, (res.score, res.stats)
+    est_scale = np.linalg.norm(res.transform[:3, :3], axis=0).mean()
+    assert abs(est_scale - s) / s < 0.01, est_scale
+    moved = q @ res.transform[:3, :3].T + res.transform[:3, 3]
+    assert np.median(np.linalg.norm(moved - pos, axis=1)) < 0.04
 
 
 def test_banded_engine_registration(rng, make_transform):

@@ -40,8 +40,11 @@ bump = 1 + 0.3 * np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
 pos = (v * bump[:, None]).astype(np.float32)
 q = pos + rng.normal(scale=DELTA / 5, size=pos.shape).astype(np.float32)
 
-opts0 = Options(delta=DELTA, sample_size=NQ,
-                p_sample_budget=131072).configure_overlap(0.7, 0.7)
+FILTERS = kv.get("filters") == "1"
+fkw = (dict(max_normal_difference=20.0, max_color_distance=60.0)
+       if FILTERS else {})
+opts0 = Options(delta=DELTA, sample_size=NQ, p_sample_budget=131072,
+                **fkw).configure_overlap(0.7, 0.7)
 sp = sampling.sample_for_matching(PointCloud(pos=pos), DELTA, NQ,
                                   truncate=False,
                                   rng=np.random.default_rng(1))
@@ -54,8 +57,20 @@ if len(p_np) > 131072:
 q_np = (sq.pos - sq.pos.mean(0)).astype(np.float32)
 pp = jnp.asarray(p_np)
 qp = jnp.asarray(q_np)
-zp, ip = jnp.zeros_like(pp), jnp.full_like(pp, -1.0)
-zq, iq = jnp.zeros_like(qp), jnp.full_like(qp, -1.0)
+if FILTERS:
+    # synthetic unit normals + colors so the filters BIND (zero
+    # normals / -1 rgb would escape every predicate)
+    rngf = np.random.default_rng(3)
+    def _nrm(n):
+        x = rngf.normal(size=(n, 3)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+    zp = jnp.asarray(_nrm(len(p_np)))
+    ip = jnp.asarray(rngf.uniform(0, 255, (len(p_np), 3)).astype(np.float32))
+    zq = jnp.asarray(_nrm(len(q_np)))
+    iq = jnp.asarray(rngf.uniform(0, 255, (len(q_np), 3)).astype(np.float32))
+else:
+    zp, ip = jnp.zeros_like(pp), jnp.full_like(pp, -1.0)
+    zq, iq = jnp.zeros_like(qp), jnp.full_like(qp, -1.0)
 nq = int(qp.shape[0])
 diam = jnp.float32(geometry.estimate_diameter(
     q_np, 1000, np.random.default_rng(2)))
