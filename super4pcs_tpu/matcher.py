@@ -44,6 +44,7 @@ from .kernels import rowcap_pallas
 from .ops.band_extract import build_band_index, extract_pairs_banded
 from .ops.masking import masked_indices
 from .ops.pairs import (PairFilterConfig, extract_pairs,
+                        extract_pairs_dense_rowcap,
                         extract_pairs_rowcap_layout_both)
 from .utils import Logger, LogLevel
 from .visitor import DummyTransformVisitor, visitor_needs_global
@@ -240,8 +241,14 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
     # 0.31 s hippo step). 8x the exact-rank budget keeps the coarse
     # stage meaningful while the drop telemetry (cands_overflow)
     # reports any step that actually fills it.
-    n_cands = min(opts.max_candidates
-                  or max(4096, 8 * max(opts.verify_top_k, 0)),
+    # toy scale (nq <= 1024): true congruent counts are ~hundreds per
+    # step (hippo: ~440 valid of 106k slots) and the coarse stage's
+    # cost is linear in this cap — 4096 measured quality-neutral vs
+    # 16384 on hippo seeds (same LCP, same trials; r5 sweep) at less
+    # verify work. cands_overflow telemetry flags any step that fills.
+    default_cands = (4096 if nq <= 1024
+                     else max(4096, 8 * max(opts.verify_top_k, 0)))
+    n_cands = min(opts.max_candidates or default_cands,
                   opts.bases_per_step * k_quads)
 
     cfg = PairFilterConfig(
@@ -295,17 +302,25 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
 
     if engine == "dense":
         join_row_cap = None
+        # gather-free per-row capture when the per-row quota is small
+        # (rigid configs: k_pairs ~ 16 * nq). Scale mode's capacity is
+        # ~nq^2 (row_cap ~ nq would unroll nq reductions) and relies on
+        # the rotated global-prefix rule — it keeps extract_pairs.
+        dense_fast = (not opts.estimate_scale
+                      and max(k_pairs // nq, 1) <= 64)
+        _dense_fn = (extract_pairs_dense_rowcap if dense_fast
+                     else extract_pairs)
 
         def _extract_both(pos, normal, rgb, bpos, bnorm, brgb, eps,
                           pcfg, col_offset=None, band=None,
                           inv1=None):
             ro = col_offset if rotate_dense else None
-            return (extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
-                                  0, 1, eps, pcfg, capacity=k_pairs,
-                                  row_offset=ro),
-                    extract_pairs(pos, normal, rgb, bpos, bnorm, brgb,
-                                  2, 3, eps, pcfg, capacity=k_pairs,
-                                  row_offset=ro))
+            return (_dense_fn(pos, normal, rgb, bpos, bnorm, brgb,
+                              0, 1, eps, pcfg, capacity=k_pairs,
+                              row_offset=ro),
+                    _dense_fn(pos, normal, rgb, bpos, bnorm, brgb,
+                              2, 3, eps, pcfg, capacity=k_pairs,
+                              row_offset=ro))
     elif engine == "allpairs":
         join_row_cap = nq
 
@@ -452,9 +467,11 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                          + float(ec1 + ec2) * 36.0)
         elif use_pk:                     # Pallas band-capture kernel
             # in-VMEM Theta(nq^2) mask + lane scan; HBM = tables only
-            ex_fl = b * 2 * float(nq) * nq * 25.0
-            ex_by = b * 2 * (float(nq) * join_row_cap * 8.0
-                             + float(nq) * 4.0)
+            # edge 0 additionally evaluates the fused join hash
+            # (~15 ops/element) and writes the h1 plane
+            ex_fl = b * float(nq) * nq * (40.0 + 25.0)
+            ex_by = b * (float(nq) * join_row_cap * 12.0
+                         + 2.0 * float(nq) * 4.0)
         else:                            # rowcap layout (approx_max_k)
             ex_fl = b * 2 * float(nq) * nq * 16.0
             # the PartialReduce custom call materializes each block's
@@ -474,10 +491,19 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
             probes = float(qb) * w ** 3
             lg = max(math.log2(max(k1, 2.0)), 1.0)
             passes = lg * (lg + 1.0) / 2.0
-            jn_fl = b * (k1 * 20.0 + k1 * passes * 2.0
+            # bucket-seeded range-search rounds (ops/congruent.py r5)
+            rounds = min(lg, max(12.0, (int(k1) >> 16)
+                                 .bit_length() + 5.0))
+            # the kernel path (use_pk) delivers the table hash from the
+            # capture kernel: the k1-gather hash stage disappears from
+            # the join (tools/join5_micro.py: 2.66 s of the 3.94 s
+            # join at nq=32768 before the fusion)
+            hash_fl = 0.0 if use_pk else k1 * 20.0
+            hash_by = 0.0 if use_pk else k1 * 16.0
+            jn_fl = b * (hash_fl + k1 * passes * 2.0
                          + probes * opts.cell_candidates * 10.0)
-            jn_by = b * (k1 * 8.0 * passes
-                         + probes * (lg * 16.0
+            jn_by = b * (hash_by + k1 * 8.0 * passes
+                         + probes * (2.0 * rounds * 4.0
                                      + opts.cell_candidates * 8.0))
         ft_fl = b * float(k_quads) * 600.0
         ft_by = b * float(k_quads) * 96.0

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .masking import masked_indices
+from .masking import masked_indices, masked_indices_2d
 from . import healpix as _healpix
 
 
@@ -179,7 +179,7 @@ def find_congruent_quads(
                            <= cone_cos_tolerance)
 
     k2 = pairs2.shape[0]
-    flat_idx, valid, count = masked_indices(mask.reshape(-1), capacity)
+    flat_idx, valid, count = masked_indices_2d(mask, capacity)
     i1 = flat_idx // k2
     i2 = flat_idx % k2
     quads = jnp.concatenate([pairs1[i1], pairs2[i2]], axis=-1)
@@ -652,7 +652,7 @@ def find_congruent_quads_grid(
                  + dxc[2] * d2q[None, :, 2]) / n1g
         mask &= jnp.abs(cos12 - base_cos_alpha) <= cone_cos_tolerance
 
-    sel, valid, count = masked_indices(mask.reshape(-1), capacity)
+    sel, valid, count = masked_indices_2d(mask, capacity)
     orid_sel = orid.reshape(-1)[sel]
     if allpairs_cols:
         q1 = jnp.stack([orid_sel // row_cap, orid_sel % row_cap],

@@ -11,6 +11,40 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def masked_indices_2d(mask: jnp.ndarray, capacity: int):
+    """:func:`masked_indices` over a 2-D mask, bit-identical to
+    ``masked_indices(mask.reshape(-1), capacity)`` (row-major order)
+    but hierarchical: a row-local cumsum (one pass over the matrix,
+    along the minor axis) plus a row-count cumsum replace the FLAT
+    k1*k2-element prefix sum, and each output slot locates its (row,
+    column) with two short binary searches — log2(k1) rounds over the
+    k1-entry row table and log2(k2) rounds of single-element gathers
+    into the row-local plane. The flat form's cumsum alone was the
+    dominant memory traffic of the toy-scale dense join (the hippo
+    step's 58 GB cost_analysis, r5); this form touches the matrix
+    once.
+    """
+    k1, k2 = mask.shape
+    rl = jnp.cumsum(mask, axis=1, dtype=jnp.int32)   # inclusive, row
+    rc = rl[:, -1]
+    rb = jnp.cumsum(rc, dtype=jnp.int32)             # inclusive base
+    count = rb[-1]
+    s = jnp.arange(capacity, dtype=jnp.int32)
+    r = jnp.searchsorted(rb, s + 1, side="left", method="scan")
+    rsafe = jnp.minimum(r, k1 - 1)
+    tgt = s + 1 - (rb[rsafe] - rc[rsafe])            # 1-based in row
+    lo = jnp.zeros(capacity, jnp.int32)
+    hi = jnp.full(capacity, k2, jnp.int32)
+    for _ in range(max(int(k2).bit_length(), 1)):
+        mid = (lo + hi) >> 1
+        go = rl[rsafe, jnp.minimum(mid, k2 - 1)] < tgt
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    valid = s < jnp.minimum(count, capacity)
+    idx = jnp.where(valid, rsafe * k2 + lo, 0).astype(jnp.int32)
+    return idx, valid, count
+
+
 def masked_indices(mask: jnp.ndarray, capacity: int):
     """Indices of True entries of a flat bool mask, compacted to a static
     ``(capacity,)`` buffer (ascending order; surplus entries dropped).

@@ -138,6 +138,77 @@ def extract_pairs(
     return pairs.astype(jnp.int32), valid, count, dropped
 
 
+def extract_pairs_dense_rowcap(
+    pos, normal, rgb,
+    base_pos, base_norm, base_rgb,
+    edge0: int, edge1: int,
+    pair_distance_epsilon,
+    cfg: PairFilterConfig,
+    capacity: int,
+    row_offset=None,
+):
+    """Dense-mask extraction with a GATHER-FREE per-row capture.
+
+    Same filters and inputs as :func:`extract_pairs`, but the
+    compaction is per-row: each row keeps its first
+    ``row_cap = capacity // n`` hits in column order, recovered by the
+    masked-reduction trick (exclusive in-row prefix sum; at most one
+    column satisfies ``prefix == k``, so ``sum(where(...)) - 1`` yields
+    its id) — all elementwise/reduction VPU work, zero gathers and
+    zero scatters. The global masked_indices compaction it replaces
+    ran ``capacity * log2(n^2)`` serial gather rounds per base edge —
+    measured as the dominant share of the toy-scale step's
+    select_extract phase (0.123 s of hippo's 0.245 s step, r5).
+
+    Capture-rule divergence from :func:`extract_pairs` (documented,
+    like the Pallas kernel's segment-stratified rule): overflow drops
+    the TAIL OF EACH ROW instead of the global row-major suffix —
+    row-fair, matching the reference's per-point pair vectors
+    (ref:pairCreationFunctor.h:120-129). Drops stay item-exact.
+
+    ``row_offset`` rotates the first-point axis as in
+    :func:`extract_pairs` (the scale-mode capture lottery).
+
+    Returns (pairs (n * row_cap, 2) int32, valid, count, dropped) —
+    note the buffer length is ``n * row_cap`` (<= capacity), not
+    ``capacity``.
+    """
+    n = pos.shape[0]
+    row_cap = max(capacity // n, 1)
+    b0p, b1p = base_pos[edge0], base_pos[edge1]
+    pair_distance = jnp.linalg.norm(b0p - b1p)
+    pair_normals_angle = jnp.linalg.norm(
+        base_norm[edge0] - base_norm[edge1])
+
+    emit = pair_emit_masks(
+        pos, normal, rgb,
+        b0p, b1p, base_norm[edge0], base_norm[edge1],
+        base_rgb[edge0], base_rgb[edge1],
+        pair_distance, pair_normals_angle, pair_distance_epsilon, cfg)
+    if row_offset is not None:
+        off = jnp.mod(jnp.asarray(row_offset, jnp.int32), n)
+        emit = jnp.roll(emit, -off, axis=0)
+
+    s = jnp.cumsum(emit, axis=1, dtype=jnp.int32)
+    prefix = s - emit                                      # exclusive
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    cols = []
+    for k in range(row_cap):
+        sel = emit & (prefix == k)
+        cols.append(jnp.sum(jnp.where(sel, col + 1, 0),
+                            axis=1, dtype=jnp.int32) - 1)  # (n,)
+    cols = jnp.stack(cols, axis=1).reshape(-1)             # (n*row_cap,)
+    valid = cols >= 0
+    u = jnp.arange(n * row_cap, dtype=jnp.int32) // row_cap
+    if row_offset is not None:
+        u = jnp.mod(u + off, n)
+    pairs = jnp.stack([jnp.where(valid, u, 0),
+                       jnp.maximum(cols, 0)], axis=-1)
+    count = jnp.sum(emit, dtype=jnp.int32)
+    found = jnp.sum(valid, dtype=jnp.int32)
+    return pairs.astype(jnp.int32), valid, count, count - found
+
+
 def pair_block_geometry(pos_u, pos, need_dirs: bool):
     """Base-independent distance tensors of one row block, shared by
     every base edge evaluated on it. Returns ``(diff, dist, d2)`` with

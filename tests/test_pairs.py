@@ -445,3 +445,72 @@ def test_dense_row_offset_rotation(rng):
     for s in subsets:
         assert len(s) == full // 3
         assert s <= s_none
+
+
+def test_dense_rowcap_matches_extract_pairs(rng):
+    """extract_pairs_dense_rowcap (the gather-free per-row capture the
+    toy-scale dense path uses, r5) against extract_pairs: identical
+    pre-cap counts and exact set equality at ample capacity; under
+    per-row pressure every captured pair is genuine, row-fair, and
+    drops stay item-exact."""
+    from super4pcs_tpu.ops.pairs import extract_pairs_dense_rowcap
+
+    n = 120
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    rgb = rng.uniform(0, 255, size=(n, 3)).astype(np.float32)
+    base = rng.choice(n, 4, replace=False)
+    cfg = PairFilterConfig(max_normal_difference=40.0,
+                           max_color_distance=160.0)
+
+    def run(fn, capacity):
+        p, v, c, d = fn(
+            jnp.asarray(pos), jnp.asarray(nrm), jnp.asarray(rgb),
+            jnp.asarray(pos[base]), jnp.asarray(nrm[base]),
+            jnp.asarray(rgb[base]), 0, 1, 0.4, cfg, capacity=capacity)
+        s = {tuple(x) for x, ok in zip(np.asarray(p), np.asarray(v))
+             if ok}
+        return s, int(c), int(d)
+
+    s_ref, c_ref, _ = run(extract_pairs, n * n)
+    s_new, c_new, d_new = run(extract_pairs_dense_rowcap, n * n)
+    assert c_new == c_ref
+    assert s_new == s_ref
+    assert d_new == 0
+
+    # per-row pressure: row_cap = 4; each row keeps its first 4 hits
+    s_cap, c_cap, d_cap = run(extract_pairs_dense_rowcap, 4 * n)
+    assert c_cap == c_ref
+    assert s_cap <= s_ref
+    assert len(s_cap) + d_cap == c_ref
+    rows = {}
+    for (u, v) in s_cap:
+        rows.setdefault(u, []).append(v)
+    per_row_ref = {}
+    for (u, v) in s_ref:
+        per_row_ref.setdefault(u, []).append(v)
+    for u, vs in rows.items():
+        assert len(vs) <= 4
+        # first-in-column-order capture per row
+        assert sorted(vs) == sorted(per_row_ref[u])[:len(vs)]
+
+
+def test_masked_indices_2d_matches_flat(rng):
+    """masked_indices_2d must be bit-identical to the flat form on the
+    row-major flattening, including overflow and empty masks."""
+    from super4pcs_tpu.ops.masking import masked_indices, masked_indices_2d
+
+    for shape, cap in (((7, 13), 40), ((16, 128), 100), ((16, 128), 3000),
+                       ((5, 8), 8)):
+        m = rng.random(shape) < 0.3
+        mj = jnp.asarray(m)
+        i1, v1, c1 = masked_indices(mj.reshape(-1), cap)
+        i2, v2, c2 = masked_indices_2d(mj, cap)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        assert int(c1) == int(c2)
+    # empty mask
+    z = jnp.zeros((4, 16), bool)
+    i2, v2, c2 = masked_indices_2d(z, 8)
+    assert int(c2) == 0 and not np.asarray(v2).any()
