@@ -1536,7 +1536,7 @@ class Match4PCSBase:
                     or fraction_time >= 0.99
                     or self._best_lcp == 1.0):
                 break
-            self._maybe_arm_escalation(fraction_try)
+            self._maybe_arm_escalation(fraction_try, fraction_time)
             if fraction_try >= 0.99 or self._trial > self._trial_budget:
                 # trial estimate exhausted below the threshold: escalate
                 # the search factor when configured (see
@@ -1558,6 +1558,14 @@ class Match4PCSBase:
                             "escalation compile failed: ", prep["error"])
                     else:
                         self._adopt_escalation(prep)
+                        # the deadline guard's EMA was learned on
+                        # base-factor steps; escalated steps are ~2-3x
+                        # slower (wider bands -> bigger tables), so an
+                        # unscaled prediction overruns by one escalated
+                        # step (measured: 181.8 s on a 180 s budget at
+                        # nq=65536). Inflate now; the 0.5-alpha EMA
+                        # re-learns the true latency within two steps.
+                        step_ema *= 3.0
                         # relaunch with the escalated program; the
                         # discarded in-flight step's keys are
                         # re-explored at the wider tolerance
@@ -1661,12 +1669,12 @@ class Match4PCSBase:
                     or fraction_time >= 0.99
                     or self._best_lcp == 1.0):
                 return True
-            self._maybe_arm_escalation(fraction_try)
+            self._maybe_arm_escalation(fraction_try, fraction_time)
             if fraction_try >= 0.99 or self._trial > self._trial_budget:
                 # a fused dispatch can jump straight past exhaustion
                 # (k_lim steps at once): make sure the compile is armed
                 # before handing the caller an escalation decision
-                self._maybe_arm_escalation(1.0)
+                self._maybe_arm_escalation(1.0, fraction_time)
                 if (opts.use_full_time_budget
                         and self._esc_prep is None):
                     continue
@@ -1686,18 +1694,34 @@ class Match4PCSBase:
         opts = self.options
         if self._esc_stage >= opts.search_escalation_stages:
             return 0.0
+        if self._esc_stage >= 1 and int(self._d_q_pos.shape[0]) > 16384:
+            # rung >= 2 quadruples the band width: above nq=16384 the
+            # factor^2 program's pair tables blow past the taper (its
+            # XLA build alone runs many minutes, and an armed-but-
+            # unused compile stalls teardown for as long) while the
+            # 128-slot capture turns almost pure drop — not a usable
+            # recourse at that scale. The wall budget remains the
+            # final stop there (use_full_time_budget keeps searching).
+            return 0.0
         return float(opts.search_escalation_factor
                      ** (self._esc_stage + 1))
 
-    def _maybe_arm_escalation(self, fraction_try: float):
+    def _maybe_arm_escalation(self, fraction_try: float,
+                              fraction_time: float = 0.0):
         """Arm the background escalation compile once the run has
         burned ``_ESC_ARM_FRACTION`` of the CURRENT rung's trial
         extension below the threshold (see _perform_steps: lazy
         arming). The rung spans trial fractions
-        [(mult-1)/mult, 1] of the extended budget."""
+        [(mult-1)/mult, 1] of the extended budget. Runs already past
+        75% of their WALL budget never arm: the adoption gate (>=5%
+        remaining) would likely reject the swap anyway, and an
+        armed-but-unused compile delays process teardown by a full
+        cold build (the non-daemon thread is deliberately joined at
+        exit to protect the persistent cache)."""
         mult = self._budget_mult
         gate = (mult - 1.0 + self._ESC_ARM_FRACTION) / mult
         if (self._esc_prep is None and self._esc_enabled
+                and fraction_time < 0.75
                 and fraction_try >= gate):
             self._esc_prep = self._start_escalation_compile(
                 self._esc_next_factor(), self._esc_args)
