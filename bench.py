@@ -121,8 +121,12 @@ def main():
         uq = (upos @ rot.T
               + np.float32([0.1, -0.05, 0.2])).astype(np.float32)
         uq += rng.normal(scale=0.001, size=uq.shape).astype(np.float32)
+        # budget PINNED at 120 s (VERDICT r4 #3: r4 quietly moved this
+        # config to 300 s, changing the series definition mid-flight;
+        # 120 s is the r3 level and the published 5-seed distribution's
+        # operating point — BASELINE.md "Round 5: the 1M metric")
         uopts = (Options(delta=0.005, sample_size=16384,
-                         max_time_seconds=300, random_seed=5)
+                         max_time_seconds=120, random_seed=5)
                  .configure_overlap(TARGET_LCP,
                                     terminate_threshold=TARGET_LCP))
         ures = MatchSuper4PCS(uopts).compute_transformation(

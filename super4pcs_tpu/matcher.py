@@ -1712,16 +1712,23 @@ class Match4PCSBase:
         burned ``_ESC_ARM_FRACTION`` of the CURRENT rung's trial
         extension below the threshold (see _perform_steps: lazy
         arming). The rung spans trial fractions
-        [(mult-1)/mult, 1] of the extended budget. Runs already past
-        75% of their WALL budget never arm: the adoption gate (>=5%
-        remaining) would likely reject the swap anyway, and an
-        armed-but-unused compile delays process teardown by a full
-        cold build (the non-daemon thread is deliberately joined at
-        exit to protect the persistent cache)."""
+        [(mult-1)/mult, 1] of the extended budget. LARGE programs
+        (nq > 4096) already past 75% of their WALL budget never arm:
+        the adoption gate (>=5% remaining) would likely reject the
+        swap anyway, and an armed-but-unused compile delays process
+        teardown by a full cold build (the non-daemon thread is
+        deliberately joined at exit to protect the persistent cache).
+        Small programs are exempt — their compiles are seconds, so a
+        late arm still rescues a slow run (a 1-core CI host stretches
+        step latency enough that trial exhaustion can land past 75%
+        wall; the banded overflow-pressure test relies on exactly
+        this late escalation)."""
         mult = self._budget_mult
         gate = (mult - 1.0 + self._ESC_ARM_FRACTION) / mult
+        wall_ok = (int(self._d_q_pos.shape[0]) <= 4096
+                   or fraction_time < 0.75)
         if (self._esc_prep is None and self._esc_enabled
-                and fraction_time < 0.75
+                and wall_ok
                 and fraction_try >= gate):
             self._esc_prep = self._start_escalation_compile(
                 self._esc_next_factor(), self._esc_args)

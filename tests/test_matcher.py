@@ -891,7 +891,11 @@ def test_banded_engine_overflow_pressure(rng, make_transform):
     mat = make_transform(max_translation=0.5)
     inv = np.linalg.inv(mat)
     q_pos = (pos @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
-    opts = Options(delta=0.05, sample_size=300, max_time_seconds=60,
+    # 120 s wall: success here rides a late escalation (the capped
+    # band drops most true pairs at factor 1), and a loaded 1-core CI
+    # host stretches step+compile latency ~2x — a 60 s budget made
+    # the pass timing-dependent (flaked in-suite, passed isolated)
+    opts = Options(delta=0.05, sample_size=300, max_time_seconds=120,
                    bases_per_step=8, max_quads=2048, max_candidates=4096,
                    pair_engine="banded", band_cell_pair_cap=128,
                    band_expand_cap=2048,
