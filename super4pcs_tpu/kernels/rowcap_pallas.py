@@ -112,15 +112,26 @@ def slots_for(nq: int, target_row_cap: int) -> int:
     return segs * seg_q
 
 
-def _kernel(geo_ref, meta_ref, q8t_ref, n8t_ref, aux_ref, rcscore_ref,
+def _kernel(geo_ref, meta_ref, rowb_ref, colb_ref,
+            q8t_ref, n8t_ref, aux_ref, rcscore_ref,
             cols_ref, rc_ref, h_ref,
             *, emit_hash: bool, use_normals: bool, use_rowcol: bool,
-            use_angle: bool):
+            use_angle: bool, use_reject: bool):
     """Grid: (n_pad / ROW_TILE, n_pad / COL_TILE) — ONE base edge.
 
     geo_ref: (1, 8) f32 SMEM — [lo^2, hi^2, invariant, cell,
     pair_normals_angle, normal_thr, cos_max_angle, unused].
     meta_ref: (1, 1) i32 SMEM — the real (unpadded) point count.
+    rowb_ref / colb_ref: (1, 4) f32 SMEM blocks — this grid step's
+    ROW_TILE / COL_TILE tile bounding sphere [cx, cy, cz, r] (empty
+    tiles carry cx=1e18, r=0). Round-5 tile rejection: with
+    Morton-ordered inputs (matcher._init) tiles are spatially
+    coherent, and the band annulus [lo, hi] is geometrically thin, so
+    most (row-tile, col-tile) pairs satisfy min-possible distance
+    dc - r1 - r2 > hi or max-possible dc + r1 + r2 < lo and skip the
+    whole MXU/mask/scan body (a conservative triangle-inequality
+    bound with a small slack against f32 rounding — never rejects a
+    tile containing an in-band pair, so per-row counts stay exact).
     q8t_ref: (8, n_pad) f32 VMEM — rows 0-2 coords, rest zero; padded
     columns carry +1e18 in row 0 (band-rejected automatically).
     n8t_ref: (8, n_pad) f32 VMEM — rows 0-2 raw normals, rest zero.
@@ -145,6 +156,52 @@ def _kernel(geo_ref, meta_ref, q8t_ref, n8t_ref, aux_ref, rcscore_ref,
     hi2 = geo_ref[0, 1]
     seg_q = cols_ref.shape[0]
 
+    # per-row counts accumulate across the ct (minor) grid steps:
+    # zero-init must run whether or not this tile pair is rejected
+    @pl.when(ct == 0)
+    def _():
+        rc_ref[:, :] = jnp.zeros_like(rc_ref)
+
+    if use_reject:
+        dx = rowb_ref[0, 0] - colb_ref[0, 0]
+        dy = rowb_ref[0, 1] - colb_ref[0, 1]
+        dz = rowb_ref[0, 2] - colb_ref[0, 2]
+        dc = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        rsum = rowb_ref[0, 3] + colb_ref[0, 3]
+        lo_s = jnp.sqrt(jnp.maximum(lo2, 0.0))
+        hi_s = jnp.sqrt(hi2)
+        # conservative slack: f32 rounding in dc/r is ~1e-7 relative;
+        # 1e-5 relative + tiny absolute can only UNDER-reject
+        slack = 1.0e-5 * (hi_s + dc) + 1.0e-12
+        reject = ((dc - rsum > hi_s + slack)
+                  | (dc + rsum < lo_s - slack))
+
+        @pl.when(reject)
+        def _():
+            cols_ref[:, :] = jnp.full((seg_q, ROW_TILE), -1, jnp.int32)
+            if emit_hash:
+                h_ref[:, :] = jnp.full((seg_q, ROW_TILE), _SENT,
+                                       jnp.int32)
+
+        compute = jnp.logical_not(reject)
+    else:
+        compute = ct >= 0   # always true; keeps one code shape
+
+    @pl.when(compute)
+    def _capture_tile():
+        _kernel_body(geo_ref, n_real, q8t_ref, n8t_ref, aux_ref,
+                     rcscore_ref, cols_ref, rc_ref, h_ref, rt, ct,
+                     lo2, hi2, seg_q, emit_hash=emit_hash,
+                     use_normals=use_normals, use_rowcol=use_rowcol,
+                     use_angle=use_angle)
+
+
+def _kernel_body(geo_ref, n_real, q8t_ref, n8t_ref, aux_ref,
+                 rcscore_ref, cols_ref, rc_ref, h_ref, rt, ct,
+                 lo2, hi2, seg_q, *, emit_hash: bool,
+                 use_normals: bool, use_rowcol: bool, use_angle: bool):
+    """The un-rejected tile-pair path: band mask + filters + exact
+    per-row counts + stratified capture (see _kernel docstring)."""
     rows = q8t_ref[:, pl.ds(rt * ROW_TILE, ROW_TILE)]      # (8, RT)
     r2 = jnp.sum(rows * rows, axis=0, keepdims=True)       # (1, RT)
     row_ids = (rt * ROW_TILE
@@ -210,10 +267,6 @@ def _kernel(geo_ref, meta_ref, q8t_ref, n8t_ref, aux_ref, rcscore_ref,
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         mask &= (bseg - aseg.T) >= cmax * dist
 
-    @pl.when(ct == 0)
-    def _():
-        rc_ref[:, :] = jnp.zeros_like(rc_ref)
-
     rc_ref[:, :] = rc_ref[:, :] + jnp.sum(
         mask, axis=1, dtype=jnp.int32).reshape(8, ROW_TILE // 8)
 
@@ -264,14 +317,36 @@ def _kernel(geo_ref, meta_ref, q8t_ref, n8t_ref, aux_ref, rcscore_ref,
     cols_ref[:, :] = jnp.stack(vals, axis=0)               # (seg_q, RT)
 
 
+def _tile_bounds(pos, n_pad: int, tile: int):
+    """(n_pad/tile, 4) f32 [cx, cy, cz, r] bounding spheres of each
+    ``tile``-point slab of the PADDED layout (real points only; empty
+    tiles carry cx=1e18, r=0 so any real tile rejects against them)."""
+    n = pos.shape[0]
+    nt = n_pad // tile
+    pp = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(pos)
+    rm = (jnp.arange(n_pad) < n).reshape(nt, tile)
+    p3 = pp.reshape(nt, tile, 3)
+    cnt = jnp.sum(rm, axis=1)
+    c = (jnp.sum(p3 * rm[..., None], axis=1)
+         / jnp.maximum(cnt, 1)[:, None])
+    d = jnp.linalg.norm(p3 - c[:, None, :], axis=-1) * rm
+    r = jnp.max(d, axis=1)
+    c = jnp.where(cnt[:, None] > 0, c, jnp.float32(1.0e18))
+    r = jnp.where(cnt > 0, r, 0.0)
+    return jnp.concatenate([c, r[:, None]], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("row_cap", "n_real", "emit_hash", "use_normals",
-                     "use_rowcol", "use_angle", "interpret"))
-def _capture_edge(q8t, n8t, aux, rcscore, geo, *, row_cap: int,
+                     "use_rowcol", "use_angle", "use_reject",
+                     "interpret"))
+def _capture_edge(q8t, n8t, aux, rcscore, geo, rowb, colb, *,
+                  row_cap: int,
                   n_real: int, emit_hash: bool = False,
                   use_normals: bool = False, use_rowcol: bool = False,
-                  use_angle: bool = False, interpret: bool = False):
+                  use_angle: bool = False, use_reject: bool = False,
+                  interpret: bool = False):
     """One edge's stratified band capture. Returns (cols (n_pad,
     row_cap) i32, rc (n_pad,) i32[, h (n_pad, row_cap) i32])."""
     n_pad = q8t.shape[1]
@@ -282,7 +357,8 @@ def _capture_edge(q8t, n8t, aux, rcscore, geo, *, row_cap: int,
     meta = jnp.full((1, 1), n_real, jnp.int32)
     kern = functools.partial(
         _kernel, emit_hash=emit_hash, use_normals=use_normals,
-        use_rowcol=use_rowcol, use_angle=use_angle)
+        use_rowcol=use_rowcol, use_angle=use_angle,
+        use_reject=use_reject)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda r, c: (0,) * a.ndim,
@@ -321,12 +397,18 @@ def _capture_edge(q8t, n8t, aux, rcscore, geo, *, row_cap: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
+            # per-grid-step tile bounds as (1, 4) SMEM blocks: scalar
+            # reads drive the reject predicate before any VMEM work
+            pl.BlockSpec((1, 4), lambda r, c: (r, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda r, c: (c, 0),
+                         memory_space=pltpu.SMEM),
             full(q8t), full(n8t), full(aux), full(rcscore),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(geo, meta, q8t, n8t, aux, rcscore)
+    )(geo, meta, rowb, colb, q8t, n8t, aux, rcscore)
     cols4, rc = outs[0], outs[1]
     # slot-major per-row layout for the join (trow = slot // row_cap):
     # (rt, ct, k, r) -> (rt, r, ct, k) -> (n_pad, row_cap)
@@ -386,6 +468,7 @@ def extract_pairs_rowcap_pallas_both(
     max_color_distance: float = -1.0,
     max_translation_distance: float = -1.0,
     max_angle: float = -1.0,
+    tile_reject: bool = True,
 ):
     """Both base edges' band captures (two kernel launches, one per
     edge — the edge-0 launch optionally fuses the join hash).
@@ -426,6 +509,13 @@ def extract_pairs_rowcap_pallas_both(
     q8t = q8t.at[:3, :n].set(pos.T)
     if n_pad > n:
         q8t = q8t.at[0, n:].set(_PAD)
+
+    # tile bounding spheres for the in-kernel band rejection (pays off
+    # when the caller Morton-orders ``pos`` — matcher._init does; on
+    # unsorted inputs rejection simply never fires). Pure functions of
+    # ``pos``: XLA CSEs them across the vmapped bases of a device step.
+    rowb = _tile_bounds(pos, n_pad, ROW_TILE)
+    colb = _tile_bounds(pos, n_pad, COL_TILE)
 
     eps = jnp.float32(pair_distance_epsilon)
     d01 = jnp.linalg.norm(base_pos[0] - base_pos[1])
@@ -479,10 +569,11 @@ def extract_pairs_rowcap_pallas_both(
              else jnp.float32(1.0)),
             nang[e], nthr, cmax, jnp.float32(0.0)]).reshape(1, 8)
         out = _capture_edge(
-            q8t, n8t, aux, rcscore, geo, row_cap=row_cap, n_real=n,
+            q8t, n8t, aux, rcscore, geo, rowb, colb,
+            row_cap=row_cap, n_real=n,
             emit_hash=emit_hash and e == 0, use_normals=use_normals,
             use_rowcol=use_rowcol, use_angle=use_angle,
-            interpret=interpret)
+            use_reject=tile_reject, interpret=interpret)
         cols, rc = out[0], out[1]
         if emit_hash and e == 0:
             h1 = out[2].reshape(-1)

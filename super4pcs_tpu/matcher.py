@@ -433,7 +433,8 @@ def _build_try_base(opts: Options, nq: int, cone_tol: float,
                     max_color_distance=opts.max_color_distance,
                     max_translation_distance=(
                         opts.max_translation_distance),
-                    max_angle=opts.max_angle)
+                    max_angle=opts.max_angle,
+                    tile_reject=opts.rowcap_tile_reject)
         else:
             # fused two-edge scan: shared geometry, one approx_max_k
             _extract_rowcap = functools.partial(
@@ -1192,6 +1193,18 @@ class Match4PCSBase:
                 " (scale_max_q; see Options)")
         sampled_q = sampling.sample_for_matching(
             Q, opts.delta, q_target, truncate=True, rng=rng)
+        # Morton-order the Q samples: a fixed permutation is
+        # semantically transparent (RANSAC draws by index, outputs are
+        # transforms), and spatially coherent memory order is what
+        # arms the Pallas capture kernel's tile-pair band rejection
+        # (kernels/rowcap_pallas.py, r5 tile reject). Scale mode is
+        # exempt: its engines (dense/allpairs) have no tile rejection
+        # to arm, so reordering would only reshuffle the RANSAC
+        # lottery there (measured: a 4.3% coarse-scale outlier on a
+        # previously sub-0.5% seed) for zero kernel benefit.
+        if not opts.estimate_scale:
+            sampled_q = sampled_q.take(
+                sampling.morton_argsort(sampled_q.pos))
         self._sampled_p_world = sampled_p
         self._sampled_q_world = sampled_q
 

@@ -76,3 +76,35 @@ def sample_for_matching(
         rng = np.random.default_rng(0)
     perm = rng.permutation(len(sampled))[:sample_size]
     return sampled.take(perm)
+
+
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of ``x`` so consecutive bits land 3 apart
+    (the classic Morton bit-interleave expansion)."""
+    x = x.astype(np.uint32) & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_argsort(pos: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Permutation ordering points along a 3-D Morton (Z-order) curve.
+
+    Spatial locality in MEMORY order is what makes the Pallas capture
+    kernel's tile rejection fire (kernels/rowcap_pallas.py): after this
+    ordering, consecutive index ranges are spatially compact, so a
+    (row-tile, col-tile) bounding-sphere test prunes most of the
+    Theta(nq^2) band sweep. Any fixed permutation of Q is semantically
+    transparent to the matcher (RANSAC draws by index; outputs are
+    transforms), so this is applied unconditionally in matcher._init.
+    """
+    p = np.asarray(pos, np.float64)
+    lo = p.min(axis=0)
+    span = float(max(np.ptp(p, axis=0).max(), 1e-30))
+    g = np.minimum(((p - lo) / span * ((1 << bits) - 1)).astype(np.int64),
+                   (1 << bits) - 1).astype(np.uint32)
+    code = ((_part1by2(g[:, 2]) << 2) | (_part1by2(g[:, 1]) << 1)
+            | _part1by2(g[:, 0]))
+    return np.argsort(code, kind="stable")

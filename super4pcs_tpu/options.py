@@ -100,6 +100,14 @@ class Options:
     #: filter set; first-N-in-rotated-order capture instead of the
     #: kernel's segment-stratified capture).
     rowcap_kernel: str = "auto"
+    #: Tile-pair band rejection inside the Pallas capture kernel: per
+    #: (256-row, 512-col) tile pair, a bounding-sphere test against the
+    #: distance band skips the whole MXU/mask/capture body when no pair
+    #: can fall in the band (conservative triangle-inequality bound —
+    #: per-row counts stay exact). Effective because matcher._init
+    #: Morton-orders the Q samples, making tiles spatially compact.
+    #: Safety valve only; there is no known reason to disable it.
+    rowcap_tile_reject: bool = True
     #: Cosine tolerance of the Super4PCS pair-direction cone filter. The
     #: reference realizes this filter as a 7^3-bin direction-grid cone
     #: rasterization (ref:accelerators/normalset.hpp:162-210); the bin

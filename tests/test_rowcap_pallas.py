@@ -234,3 +234,73 @@ def test_slots_rounding():
     assert rowcap_pallas.slots_for(32768, 160) == 192    # 64 segs x 3
     assert rowcap_pallas.slots_for(65536, 160) == 256    # 128 segs x 2
     assert rowcap_pallas.slots_for(700, 16) == 16        # 4 segs x 4
+
+
+def test_tile_reject_output_identical(rng, cloud):
+    """Tile rejection (r5) must be output-IDENTICAL to the unrejected
+    kernel: it may only skip tile pairs whose bounding spheres cannot
+    meet the band, so per-segment hit sets — and therefore the
+    stratified capture, counts, and fused hashes — are unchanged."""
+    # Morton order makes tiles spatially compact => rejection fires
+    from super4pcs_tpu.ops.sampling import morton_argsort
+    pos = cloud[morton_argsort(cloud)]
+    base = pos[rng.choice(len(pos), 4, replace=False)]
+    eps = 0.05
+    rc_eff = rowcap_pallas.slots_for(len(pos), 16)
+    outs = {}
+    for flag in (True, False):
+        outs[flag] = rowcap_pallas.extract_pairs_rowcap_pallas_both(
+            jnp.asarray(pos), jnp.asarray(base), eps, rc_eff,
+            interpret=True, invariant1=jnp.float32(0.4),
+            cell_size=0.02, tile_reject=flag)
+    for a, b in zip(outs[True][:2], outs[False][:2]):
+        for xa, xb in zip(a, b):
+            assert np.array_equal(np.asarray(xa), np.asarray(xb))
+    assert np.array_equal(np.asarray(outs[True][2]),
+                          np.asarray(outs[False][2]))   # fused hashes
+
+
+def test_tile_reject_counts_exact_vs_oracle(rng):
+    """Rejection armed on a Morton-ordered cloud large enough that many
+    tile pairs actually reject: outputs must be bit-identical to the
+    unrejected kernel (the conservative-bound invariant), and the
+    capture must agree with the brute-force oracle up to band-EDGE
+    rounding only (the kernel's |u|^2+|v|^2-2u.v expansion rounds
+    differently from the oracle's direct difference — a pre-existing
+    ~1e-7-relative edge effect unrelated to rejection)."""
+    from super4pcs_tpu.ops.sampling import morton_argsort
+    n = 2500
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    bump = 1 + 0.3 * np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
+    pos = (v * bump[:, None]).astype(np.float32)
+    pos -= pos.mean(0)
+    pos = pos[morton_argsort(pos)]
+    base = pos[rng.choice(n, 4, replace=False)]
+    eps = 0.03
+    rc_eff = rowcap_pallas.slots_for(n, 8)
+    on = rowcap_pallas.extract_pairs_rowcap_pallas_both(
+        jnp.asarray(pos), jnp.asarray(base), eps, rc_eff,
+        interpret=True, tile_reject=True)
+    off = rowcap_pallas.extract_pairs_rowcap_pallas_both(
+        jnp.asarray(pos), jnp.asarray(base), eps, rc_eff,
+        interpret=True, tile_reject=False)
+    for a, b in zip(on, off):
+        for xa, xb in zip(a, b):
+            assert np.array_equal(np.asarray(xa), np.asarray(xb))
+    for (cols, valid, count, dropped), (e0, e1) in zip(
+            on, ((0, 1), (2, 3))):
+        oracle, _ = band_oracle(pos, base[e0], base[e1], eps)
+        # exact up to band-edge rounding: a handful of pairs within f32
+        # noise of the band boundary may classify differently
+        assert abs(int(count) - len(oracle)) <= 8, (
+            int(count), len(oracle))
+        vmask = np.asarray(valid)
+        u = (np.arange(len(cols)) // rc_eff)[vmask]
+        c = np.asarray(cols)[vmask]
+        pd = float(np.linalg.norm(base[e0] - base[e1]))
+        d = np.linalg.norm(pos[u] - pos[c], axis=-1)
+        ok = ((d >= max(pd - eps, 0.0) * (1 - 1e-5) - 1e-6)
+              & (d <= (pd + eps) * (1 + 1e-5) + 1e-6))
+        assert np.all(ok)
+        assert int(vmask.sum()) + int(dropped) == int(count)
