@@ -1193,18 +1193,20 @@ class Match4PCSBase:
                 " (scale_max_q; see Options)")
         sampled_q = sampling.sample_for_matching(
             Q, opts.delta, q_target, truncate=True, rng=rng)
-        # Morton-order the Q samples: a fixed permutation is
-        # semantically transparent (RANSAC draws by index, outputs are
-        # transforms), and spatially coherent memory order is what
-        # arms the Pallas capture kernel's tile-pair band rejection
-        # (kernels/rowcap_pallas.py, r5 tile reject). Scale mode is
-        # exempt: its engines (dense/allpairs) have no tile rejection
-        # to arm, so reordering would only reshuffle the RANSAC
-        # lottery there (measured: a 4.3% coarse-scale outlier on a
-        # previously sub-0.5% seed) for zero kernel benefit.
+        # Spatially order the Q samples (kd median-split blocks): a
+        # fixed permutation is semantically transparent (RANSAC draws
+        # by index, outputs are transforms), and spatially coherent
+        # memory order is what arms the Pallas capture kernel's
+        # tile-pair band rejection (kernels/rowcap_pallas.py, r5 tile
+        # reject; kd blocks measured ~2x the rejection rate of a
+        # Morton order). Scale mode is exempt: its engines
+        # (dense/allpairs) have no tile rejection to arm, so
+        # reordering would only reshuffle the RANSAC lottery there
+        # (measured: a 4.3% coarse-scale outlier on a previously
+        # sub-0.5% seed) for zero kernel benefit.
         if not opts.estimate_scale:
             sampled_q = sampled_q.take(
-                sampling.morton_argsort(sampled_q.pos))
+                sampling.kd_argsort(sampled_q.pos))
         self._sampled_p_world = sampled_p
         self._sampled_q_world = sampled_q
 

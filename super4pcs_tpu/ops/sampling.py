@@ -108,3 +108,35 @@ def morton_argsort(pos: np.ndarray, bits: int = 10) -> np.ndarray:
     code = ((_part1by2(g[:, 2]) << 2) | (_part1by2(g[:, 1]) << 1)
             | _part1by2(g[:, 0]))
     return np.argsort(code, kind="stable")
+
+
+def kd_argsort(pos: np.ndarray, leaf: int = 256) -> np.ndarray:
+    """Permutation ordering points by recursive longest-axis median
+    splits (a balanced kd-tree traversal order).
+
+    Like :func:`morton_argsort` this is a pure performance heuristic —
+    any fixed permutation is semantically transparent to the matcher —
+    but its ``leaf``-point blocks are compact kd cells by construction
+    (no Z-curve discontinuities), which roughly doubles the Pallas
+    kernel's tile-pair band rejection rate (measured at nq=32768:
+    15-53% of tile pairs rejected per base edge vs Morton's 3-29%;
+    nq=65536: 35-68%). ``leaf`` matches the kernel's ROW_TILE so each
+    row tile IS one kd cell.
+    """
+    pos_ = np.asarray(pos, np.float64)
+    n = len(pos_)
+    out = np.empty(n, np.int64)
+
+    def rec(ids, lo):
+        if len(ids) <= leaf:
+            out[lo:lo + len(ids)] = ids
+            return
+        p = pos_[ids]
+        ax = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        k = len(ids) // 2
+        part = np.argpartition(p[:, ax], k)
+        rec(ids[part[:k]], lo)
+        rec(ids[part[k:]], lo + k)
+
+    rec(np.arange(n), 0)
+    return out

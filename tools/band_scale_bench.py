@@ -55,6 +55,9 @@ p_np = (sp.pos - sp.pos.mean(0)).astype(np.float32)
 if len(p_np) > 131072:
     p_np = p_np[np.random.default_rng(2).permutation(len(p_np))[:131072]]
 q_np = (sq.pos - sq.pos.mean(0)).astype(np.float32)
+# production parity: matcher._init kd-orders Q (arms the Pallas
+# kernel's tile rejection, r5)
+q_np = q_np[sampling.kd_argsort(q_np)]
 pp = jnp.asarray(p_np)
 qp = jnp.asarray(q_np)
 if FILTERS:
