@@ -122,9 +122,12 @@ def _kernel(geo_ref, meta_ref, rowb_ref, colb_ref,
     geo_ref: (1, 8) f32 SMEM — [lo^2, hi^2, invariant, cell,
     pair_normals_angle, normal_thr, cos_max_angle, unused].
     meta_ref: (1, 1) i32 SMEM — the real (unpadded) point count.
-    rowb_ref / colb_ref: (1, 4) f32 SMEM blocks — this grid step's
-    ROW_TILE / COL_TILE tile bounding sphere [cx, cy, cz, r] (empty
-    tiles carry cx=1e18, r=0). Round-5 tile rejection: with
+    rowb_ref / colb_ref: (n_rt, 4) / (n_ct, 4) f32 SMEM — the FULL
+    ROW_TILE / COL_TILE tile bounding-sphere tables [cx, cy, cz, r]
+    (empty tiles carry cx=1e18, r=0), indexed by the rt / ct scalars
+    (whole-array SMEM blocks: Mosaic rejects (1, 4) sub-blocks — block
+    dims must divide (8, 128) or equal the array's; the tables are
+    <=4 KB so resident-everywhere is free). Round-5 tile rejection: with
     Morton-ordered inputs (matcher._init) tiles are spatially
     coherent, and the band annulus [lo, hi] is geometrically thin, so
     most (row-tile, col-tile) pairs satisfy min-possible distance
@@ -163,11 +166,11 @@ def _kernel(geo_ref, meta_ref, rowb_ref, colb_ref,
         rc_ref[:, :] = jnp.zeros_like(rc_ref)
 
     if use_reject:
-        dx = rowb_ref[0, 0] - colb_ref[0, 0]
-        dy = rowb_ref[0, 1] - colb_ref[0, 1]
-        dz = rowb_ref[0, 2] - colb_ref[0, 2]
+        dx = rowb_ref[rt, 0] - colb_ref[ct, 0]
+        dy = rowb_ref[rt, 1] - colb_ref[ct, 1]
+        dz = rowb_ref[rt, 2] - colb_ref[ct, 2]
         dc = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        rsum = rowb_ref[0, 3] + colb_ref[0, 3]
+        rsum = rowb_ref[rt, 3] + colb_ref[ct, 3]
         lo_s = jnp.sqrt(jnp.maximum(lo2, 0.0))
         hi_s = jnp.sqrt(hi2)
         # conservative slack: f32 rounding in dc/r is ~1e-7 relative;
@@ -397,11 +400,11 @@ def _capture_edge(q8t, n8t, aux, rcscore, geo, rowb, colb, *,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            # per-grid-step tile bounds as (1, 4) SMEM blocks: scalar
-            # reads drive the reject predicate before any VMEM work
-            pl.BlockSpec((1, 4), lambda r, c: (r, 0),
+            # full tile-bounds tables in SMEM (<=4 KB): scalar reads at
+            # [rt]/[ct] drive the reject predicate before any VMEM work
+            pl.BlockSpec(rowb.shape, lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda r, c: (c, 0),
+            pl.BlockSpec(colb.shape, lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
             full(q8t), full(n8t), full(aux), full(rcscore),
         ],
