@@ -24,10 +24,16 @@ from __future__ import annotations
 # TPU v5e (v5 lite — the ambient bench chip) public peaks.
 #   mxu_bf16: 197 TFLOP/s (394 TOPS int8 / 2)
 #   mxu_f32:  ~= bf16 / 4 (f32 operands pass the MXU at quarter rate)
-#   vpu_f32:  order-of-magnitude estimate for 8x128-lane vector units
-#             (~2048 lanes x ~1.7 GHz x ~1 FLOP) — the pipeline's mask/
-#             gather/scan work is VPU work, so percent-of-peak against
-#             this number is indicative, not exact
+#   vpu_f32:  CALIBRATED (VERDICT r4 #6, tools/vpu_calibrate.py): the
+#             Pallas LCP kernel — exactly 8 f32 VPU ops per
+#             (candidate, q, p) triple, the same count the step cost
+#             model uses — achieves 3.10 TFLOP/s on the bench chip at
+#             its best shape (c=128, nq=1024, np=500k; 2.3-3.1 across
+#             shapes), so the true peak is >= 3.1e12 and the 3.5e12
+#             figure (~2048 lanes x ~1.7 GHz) overstates it by at most
+#             ~13% if the kernel is at speed-of-light. Percent-of-peak
+#             columns therefore carry a <= ~13% error bar, not an
+#             order of magnitude.
 #   hbm:      819 GB/s
 TPU_V5E = dict(
     name="TPU v5e",
