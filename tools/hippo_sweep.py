@@ -19,7 +19,15 @@ opts = (Options(delta=0.01, sample_size=200, max_time_seconds=1000,
                 random_seed=seed, **over)
         .configure_overlap(0.70, terminate_threshold=0.70))
 res = MatchSuper4PCS(opts).compute_transformation(set1, set2)
-print(json.dumps({**{k: str(v) for k, v in over.items()}, "seed": seed,
+extra = {}
+if "phase_seconds" in res.stats:
+    extra["phases"] = {k: round(v, 4)
+                       for k, v in res.stats["phase_seconds"].items()}
+    extra["initial_verify_s"] = round(
+        res.stats.get("initial_verify_seconds", 0.0), 4)
+    extra["fused_dispatches"] = res.stats.get("fused_dispatches")
+print(json.dumps({**{k: str(v) for k, v in over.items()}, **extra,
+                  "seed": seed,
                   "lcp": round(res.score, 4), "trials": res.n_trials,
                   "search_s": round(res.stats["search_seconds"], 3),
                   "compile_s": round(res.stats["compile_seconds"], 1),
